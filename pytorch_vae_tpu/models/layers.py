@@ -1,0 +1,325 @@
+"""Transformer building blocks for the curve VQ-VAE (flax.linen).
+
+Semantics mirror the PyTorch modules the reference composes
+(models/vq_vae.py:455-533):
+
+  - pre-LN ("norm_first") encoder/decoder blocks with ReLU FFNs of width
+    `ffn_dim` (PyTorch's TransformerEncoderLayer default dim_feedforward is
+    a fixed 2048 — NOT 4*d_model — and the reference never overrides it),
+  - key-padding masks (True = valid here; inverted vs PyTorch),
+  - attention-probability and residual dropout at the same sites,
+  - sinusoidal positional encodings (models/vq_vae.py:478-483).
+
+TPU-first details:
+  - attention is written as explicit einsums with softmax in float32 so the
+    whole block compiles to MXU matmuls + fused VPU epilogues,
+  - every big kernel carries flax logical-partitioning metadata
+    ("embed"/"heads"/"mlp" axes) so the same module runs replicated on one
+    chip or tensor-parallel over a "model" mesh axis via
+    parallel/sharding.py rules — XLA inserts the collectives,
+  - masks are additive float biases built once per layer stack.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+_MASK_BIAS = -1e30
+
+
+def sinusoidal_pos_enc(max_len: int, dim: int,
+                       dtype: Dtype = jnp.float32) -> jnp.ndarray:
+    """[1, max_len, dim] sin/cos table (models/vq_vae.py:478-483)."""
+    pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * (-math.log(10000.0) / dim)
+    )
+    pe = jnp.zeros((max_len, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+    return pe[None].astype(dtype)
+
+
+def key_padding_bias(mask: Optional[jnp.ndarray],
+                     dtype: Dtype = jnp.float32) -> Optional[jnp.ndarray]:
+    """[B, L] bool (True=valid) -> [B, 1, 1, L] additive attention bias."""
+    if mask is None:
+        return None
+    return jnp.where(mask[:, None, None, :], 0.0, _MASK_BIAS).astype(dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Batched multi-head attention with additive bias masking.
+
+    Equivalent to torch.nn.MultiheadAttention(batch_first=True) with
+    key_padding_mask, including dropout on the attention probabilities.
+    """
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, bias=None, deterministic: bool = True):
+        head_dim = self.dim // self.num_heads
+        assert head_dim * self.num_heads == self.dim
+
+        def proj(name):
+            return nn.DenseGeneral(
+                features=(self.num_heads, head_dim),
+                dtype=self.dtype,
+                kernel_init=nn.with_logical_partitioning(
+                    nn.initializers.xavier_uniform(), ("embed", "heads", "kv")
+                ),
+                bias_init=nn.with_logical_partitioning(
+                    nn.initializers.zeros_init(), ("heads", "kv")
+                ),
+                name=name,
+            )
+
+        qh = proj("q_proj")(q)  # [B, Lq, H, Dh]
+        kh = proj("k_proj")(k)
+        vh = proj("v_proj")(v)
+
+        scale = 1.0 / math.sqrt(head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+        if bias is not None:
+            scores = scores + bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        probs = probs.astype(self.dtype)
+        if self.dropout > 0.0:
+            probs = nn.Dropout(rate=self.dropout)(
+                probs, deterministic=deterministic
+            )
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
+        out = nn.DenseGeneral(
+            features=self.dim,
+            axis=(-2, -1),
+            dtype=self.dtype,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.xavier_uniform(), ("heads", "kv", "embed")
+            ),
+            bias_init=nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), ("embed",)
+            ),
+            name="out_proj",
+        )(out)
+        return out
+
+
+class FeedForward(nn.Module):
+    """linear -> act -> dropout -> linear, kernels sharded on the mlp axis."""
+
+    dim: int
+    hidden: int
+    dropout: float = 0.0
+    activation: Callable = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(
+            self.hidden,
+            dtype=self.dtype,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.xavier_uniform(), ("embed", "mlp")
+            ),
+            bias_init=nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), ("mlp",)
+            ),
+            name="fc1",
+        )(x)
+        h = self.activation(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.xavier_uniform(), ("mlp", "embed")
+            ),
+            bias_init=nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), ("embed",)
+            ),
+            name="fc2",
+        )(h)
+        return h
+
+
+class EncoderBlock(nn.Module):
+    """Pre-LN transformer encoder layer (torch norm_first semantics)."""
+
+    dim: int
+    num_heads: int
+    ffn_dim: int = 2048
+    dropout: float = 0.1
+    activation: Callable = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias=None, deterministic: bool = True):
+        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = MultiHeadAttention(
+            self.dim, self.num_heads, self.dropout, self.dtype, name="attn"
+        )(h, h, h, bias=bias, deterministic=deterministic)
+        h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        x = x + h
+        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = FeedForward(self.dim, self.ffn_dim, self.dropout,
+                        self.activation, self.dtype, name="ffn")(
+            h, deterministic=deterministic)
+        h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        return x + h
+
+
+class EncoderStack(nn.Module):
+    """N stacked encoder blocks (torch nn.TransformerEncoder, no final LN)."""
+
+    dim: int
+    num_heads: int
+    num_layers: int
+    ffn_dim: int = 2048
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        bias = key_padding_bias(mask, jnp.float32)
+        for i in range(self.num_layers):
+            x = EncoderBlock(
+                self.dim, self.num_heads, self.ffn_dim, self.dropout,
+                dtype=self.dtype, name=f"layer_{i}",
+            )(x, bias=bias, deterministic=deterministic)
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """Pre-LN transformer decoder layer: self-attn, cross-attn, FFN."""
+
+    dim: int
+    num_heads: int
+    ffn_dim: int = 2048
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, self_bias=None, cross_bias=None,
+                 deterministic: bool = True):
+        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = MultiHeadAttention(
+            self.dim, self.num_heads, self.dropout, self.dtype,
+            name="self_attn",
+        )(h, h, h, bias=self_bias, deterministic=deterministic)
+        x = x + nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = MultiHeadAttention(
+            self.dim, self.num_heads, self.dropout, self.dtype,
+            name="cross_attn",
+        )(h, memory, memory, bias=cross_bias, deterministic=deterministic)
+        x = x + nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="ln3")(x)
+        h = FeedForward(self.dim, self.ffn_dim, self.dropout,
+                        nn.relu, self.dtype, name="ffn")(
+            h, deterministic=deterministic)
+        return x + nn.Dropout(rate=self.dropout)(h,
+                                                 deterministic=deterministic)
+
+
+class DecoderStack(nn.Module):
+    """N stacked decoder blocks (torch nn.TransformerDecoder, no final LN).
+
+    The reference decodes with tgt_mask=None (bidirectional self-attention
+    over the L queries) and no memory mask (models/vq_vae.py:756-762).
+    """
+
+    dim: int
+    num_heads: int
+    num_layers: int
+    ffn_dim: int = 2048
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, tgt_mask=None, memory_mask=None,
+                 deterministic: bool = True):
+        self_bias = key_padding_bias(tgt_mask, jnp.float32)
+        cross_bias = key_padding_bias(memory_mask, jnp.float32)
+        for i in range(self.num_layers):
+            x = DecoderBlock(
+                self.dim, self.num_heads, self.ffn_dim, self.dropout,
+                dtype=self.dtype, name=f"layer_{i}",
+            )(x, memory, self_bias=self_bias, cross_bias=cross_bias,
+              deterministic=deterministic)
+        return x
+
+
+class TokenizerBlock(nn.Module):
+    """One learnable-query cross-attention block of the LatentTokenizer.
+
+    q = q + drop(attn(LNq(q), LNkv(kv))); q = q + drop(GELU-FFN(LNo(q)))
+    with a 4*d hidden width (models/vq_vae.py:296-322).
+    """
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, kv, bias=None, deterministic: bool = True):
+        qn = nn.LayerNorm(dtype=self.dtype, name="ln_q")(q)
+        kvn = nn.LayerNorm(dtype=self.dtype, name="ln_kv")(kv)
+        out = MultiHeadAttention(
+            self.dim, self.num_heads, self.dropout, self.dtype, name="attn"
+        )(qn, kvn, kvn, bias=bias, deterministic=deterministic)
+        q = q + nn.Dropout(rate=self.dropout)(out,
+                                              deterministic=deterministic)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_o")(q)
+        h = FeedForward(self.dim, 4 * self.dim, dropout=0.0,
+                        activation=nn.gelu, dtype=self.dtype, name="ffn")(
+            h, deterministic=deterministic)
+        q = q + nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        return q
+
+
+class LatentTokenizer(nn.Module):
+    """Perceiver-style L -> N tokenizer (models/vq_vae.py:288-322)."""
+
+    dim: int
+    n_tokens: int = 32
+    num_heads: int = 8
+    num_layers: int = 2
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        B = x.shape[0]
+        queries = self.param(
+            "queries",
+            nn.with_logical_partitioning(
+                nn.initializers.normal(stddev=0.02), (None, "embed")
+            ),
+            (self.n_tokens, self.dim),
+            jnp.float32,
+        )
+        q = jnp.broadcast_to(
+            queries[None].astype(self.dtype), (B, self.n_tokens, self.dim)
+        )
+        bias = key_padding_bias(mask, jnp.float32)
+        for i in range(self.num_layers):
+            q = TokenizerBlock(
+                self.dim, self.num_heads, self.dropout, self.dtype,
+                name=f"block_{i}",
+            )(q, x, bias=bias, deterministic=deterministic)
+        return q

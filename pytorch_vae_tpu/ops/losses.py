@@ -1,0 +1,435 @@
+"""The curve VQ-VAE composite loss family, as one jit-fused pure function.
+
+Reproduces every term of the reference's `VQVAE.loss_function`
+(models/vq_vae.py:1097-1388) with TPU-friendly structure:
+
+  - all weights arrive as *dynamic* scalars (one compile covers the whole
+    epoch schedule),
+  - expensive optional terms (local PDM, window-Kabsch, Frenet, long-range
+    PDM) are gated *statically* by whether their weight is ever nonzero in
+    the run's schedule (`LossStatics`), mirroring the reference's
+    `if weight > 0` guards without data-dependent control flow,
+  - Python loops over window offsets become static unrolls / precomputed
+    index gathers; XLA folds and fuses them,
+  - Kabsch SVD is branchless (ops/kabsch.py) and gradient-stopped.
+
+The label-smoothing cross-entropy uses the unified KL form
+`sum_c td_c log td_c - sum_c td_c logp_c`, which reduces *exactly* to plain
+CE when eps == 0, so one code path covers both reference branches
+(models/vq_vae.py:920-931, 1185-1200).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geometry
+from .kabsch import apply_rt, kabsch_rt
+from .masking import masked_mean, mse_per_sample, pair_mask, unit
+
+
+@dataclasses.dataclass(frozen=True)
+class LossStatics:
+    """Compile-time structure of the loss (window sizes, enabled terms)."""
+
+    use_vq: bool = True
+    seq_len: int = 350  # static padded length of the batch
+    # term enablement (True if the weight is ever nonzero during the run)
+    ss_tv: bool = False
+    usage_entropy: bool = False
+    xyz_tv: bool = True
+    pdm: bool = False
+    win_kabsch: bool = False
+    kappa: bool = False
+    tau: bool = False
+    lr_pdm: bool = False
+    # static window geometry (experiment.py:317-318 rounds these to ints)
+    pdm_window: int = 8
+    win_kabsch_size: int = 16
+    win_kabsch_stride: int = 8
+    lr_min_sep: int = 24
+    lr_stride: int = 8
+    lr_max_offsets: int = 8
+
+
+def smoothed_cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    eps: jnp.ndarray,
+) -> jnp.ndarray:
+    """Masked CE with label smoothing; exact CE at eps == 0.
+
+    logits: [B, L, C]; labels: [B, L] int; mask: [B, L] bool; eps scalar.
+    (reference: models/vq_vae.py:920-931 and the plain-CE branch :1188-1200)
+    """
+    C = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    off = eps / (C - 1)
+    on = 1.0 - eps
+    onehot = jax.nn.one_hot(labels, C, dtype=logits.dtype)
+    true_dist = onehot * on + (1.0 - onehot) * off
+    # sum_c td log td (entropy term; 0 when eps == 0 via xlogy)
+    self_term = jnp.sum(jax.scipy.special.xlogy(true_dist, true_dist), axis=-1)
+    ce_term = -jnp.sum(true_dist * logp, axis=-1)
+    kl = self_term + ce_term  # [B, L]
+    return masked_mean(kl, mask)
+
+
+def pairwise_pdm_loss(
+    a_xyz: jnp.ndarray,
+    b_xyz: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    window: int,
+) -> jnp.ndarray:
+    """Local pairwise-distance-matrix loss over offsets 1..window-1.
+
+    Per-offset masked mean, then mean over offsets — matches the reference's
+    accumulation order (models/vq_vae.py:971-994).
+    """
+    L = a_xyz.shape[1]
+    if L < 2 or window <= 1:
+        return jnp.asarray(0.0, a_xyz.dtype)
+    terms = []
+    for d in range(1, window):
+        da = jnp.linalg.norm(a_xyz[:, :-d, :] - a_xyz[:, d:, :], axis=-1)
+        db = jnp.linalg.norm(b_xyz[:, :-d, :] - b_xyz[:, d:, :], axis=-1)
+        m = (mask[:, :-d] & mask[:, d:]) if mask is not None else None
+        terms.append(masked_mean((da - db) ** 2, m))
+    return jnp.mean(jnp.stack(terms))
+
+
+def window_kabsch_loss(
+    a_xyz: jnp.ndarray,
+    b_xyz: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    win: int,
+    stride: int,
+) -> jnp.ndarray:
+    """Mean over windows of the per-window aligned MSE (selected samples only).
+
+    Windows are gathered with static slices into one [B*W, win, 3] batch so a
+    single batched Kabsch covers all of them. Selection semantics follow the
+    reference (models/vq_vae.py:996-1038): a sample contributes to a window
+    if it has >= 3 valid points there and the SVD was finite; a window
+    contributes if any sample does.
+    """
+    B, L, _ = a_xyz.shape
+    if L < 3 or win < 3:
+        return jnp.asarray(0.0, a_xyz.dtype)
+    starts = list(range(0, L - win + 1, max(1, stride)))
+    if not starts:
+        return jnp.asarray(0.0, a_xyz.dtype)
+    W = len(starts)
+
+    def stack_windows(x):  # [B, L, 3] -> [B*W, win, 3]
+        ws = [x[:, s : s + win, :] for s in starts]
+        return jnp.concatenate(ws, axis=0)
+
+    a_w = stack_windows(a_xyz)
+    b_w = stack_windows(b_xyz)
+    if mask is not None:
+        m_w = jnp.concatenate([mask[:, s : s + win] for s in starts], axis=0)
+        enough = jnp.sum(m_w, axis=1) >= 3
+    else:
+        m_w = None
+        enough = jnp.ones((B * W,), dtype=bool)
+
+    R, t, ok = kabsch_rt(a_w, b_w, m_w)
+    a_aln = apply_rt(a_w, R, t)
+    if m_w is None:
+        mse = jnp.mean((a_aln - b_w) ** 2, axis=(1, 2))
+    else:
+        mm = m_w.astype(a_aln.dtype)[..., None]
+        den = jnp.clip(jnp.sum(mm, axis=(1, 2)), 1.0, None)
+        mse = jnp.sum((a_aln - b_w) ** 2 * mm, axis=(1, 2)) / den
+
+    sel = (enough & ok).reshape(W, B)
+    mse = mse.reshape(W, B)
+    sel32 = sel.astype(mse.dtype)
+    per_win = jnp.sum(mse * sel32, axis=1) / jnp.clip(
+        jnp.sum(sel32, axis=1), 1.0, None
+    )
+    win_has = jnp.any(sel, axis=1).astype(mse.dtype)
+    return jnp.sum(per_win * win_has) / jnp.clip(jnp.sum(win_has), 1.0, None)
+
+
+def frenet_regularizers(
+    a_xyz: jnp.ndarray, mask: Optional[jnp.ndarray]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Curvature (second-difference energy) and torsion-variation regularizers.
+
+    (reference: _frenet_regularizers, models/vq_vae.py:1040-1068)
+    """
+    L = a_xyz.shape[1]
+    zero = jnp.asarray(0.0, a_xyz.dtype)
+    kappa_reg = zero
+    tau_reg = zero
+    if L >= 3:
+        kappa = geometry.second_difference_sq(a_xyz)
+        kappa_reg = masked_mean(kappa, pair_mask(mask, 3))
+    if L >= 5:
+        dih = geometry.dihedral_cos_sin(a_xyz)  # [B, L-3, 2]
+        tau_var = jnp.sum((dih[:, 1:, :] - dih[:, :-1, :]) ** 2, axis=-1)
+        tau_reg = masked_mean(tau_var, pair_mask(mask, 5))
+    return kappa_reg, tau_reg
+
+
+def long_range_pdm_loss(
+    a_xyz: jnp.ndarray,
+    b_xyz: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    min_sep: int,
+    stride: int,
+    max_offsets: int,
+) -> jnp.ndarray:
+    """Long-range pairwise distance consistency over a static (i, j) pair set.
+
+    The reference's nested Python loops (models/vq_vae.py:1070-1095) become a
+    precomputed index table and one gather; per-pair masked means are averaged
+    to match its accumulation order exactly.
+    """
+    L = a_xyz.shape[1]
+    if L < min_sep + 1:
+        return jnp.asarray(0.0, a_xyz.dtype)
+    ii, jj = [], []
+    for off in range(max(1, max_offsets)):
+        for i in range(0, L, max(1, stride)):
+            j = i + min_sep + off
+            if j >= L:
+                break
+            ii.append(i)
+            jj.append(j)
+    if not ii:
+        return jnp.asarray(0.0, a_xyz.dtype)
+    iidx = np.asarray(ii, dtype=np.int32)
+    jidx = np.asarray(jj, dtype=np.int32)
+
+    da = jnp.linalg.norm(a_xyz[:, jidx, :] - a_xyz[:, iidx, :], axis=-1)
+    db = jnp.linalg.norm(b_xyz[:, jidx, :] - b_xyz[:, iidx, :], axis=-1)
+    sq = (da - db) ** 2  # [B, P]
+    if mask is not None:
+        m = (mask[:, jidx] & mask[:, iidx]).astype(sq.dtype)
+        per_pair = jnp.sum(m * sq, axis=0) / jnp.clip(jnp.sum(m, axis=0),
+                                                      1.0, None)
+    else:
+        per_pair = jnp.mean(sq, axis=0)
+    return jnp.mean(per_pair)
+
+
+def curve_loss(
+    recons: jnp.ndarray,
+    target: jnp.ndarray,
+    vq_pack: Tuple,
+    mask: Optional[jnp.ndarray],
+    weights: Dict[str, jnp.ndarray],
+    statics: LossStatics,
+    embedding: Optional[jnp.ndarray] = None,
+    data_mean: Optional[jnp.ndarray] = None,
+    data_std: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full composite loss + metrics dict (keys match the reference's).
+
+    recons/target: [B, L, 6] (xyz + 3 SS logits / one-hot); mask: [B, L].
+    vq_pack: (z_q_raw, z_e, indices, perplexity, dead_ratio).
+    weights: dynamic scalars (see config.DEFAULT_WEIGHT_KEYS).
+    embedding: quantizer codebook [K, D], needed only for the usage-entropy
+    regularizer (models/vq_vae.py:1299-1309).
+    """
+    zq_raw, ze_raw, _indices, ppl, dead = vq_pack
+    f32 = jnp.float32
+    w = {k: jnp.asarray(v, f32) for k, v in weights.items()}
+
+    re_xyz = recons[..., :3].astype(f32)
+    re_ss_logits = recons[..., 3:].astype(f32)
+    gt_xyz = target[..., :3].astype(f32)
+    gt_ss_onehot = target[..., 3:].astype(f32)
+
+    # ----- XYZ reconstruction with optimal-alignment blending -----
+    raw_mse = mse_per_sample(re_xyz, gt_xyz, mask)  # [B]
+    loss_xyz_raw = jnp.mean(raw_mse)
+
+    R, t, ok = kabsch_rt(re_xyz, gt_xyz, mask)
+    re_aln = apply_rt(re_xyz, R, t)
+    aln_mse = mse_per_sample(re_aln, gt_xyz, mask)
+    if mask is not None:
+        valid_ok = jnp.sum(mask, axis=1) >= 3
+    else:
+        valid_ok = jnp.ones_like(ok)
+    best_mse = jnp.where(valid_ok & ok, jnp.minimum(raw_mse, aln_mse), raw_mse)
+    loss_xyz_aligned = jnp.mean(best_mse)
+
+    alpha = w["xyz_align_alpha"]
+    loss_xyz = alpha * loss_xyz_aligned + (1.0 - alpha) * loss_xyz_raw
+
+    rmsd_raw = jnp.mean(jnp.sqrt(jnp.clip(raw_mse, 1e-12, None)))
+    rmsd_aligned = jnp.mean(jnp.sqrt(jnp.clip(best_mse, 1e-12, None)))
+
+    # ----- SS cross-entropy (+ optional label smoothing) -----
+    gt_ss_labels = jnp.argmax(gt_ss_onehot, axis=-1)
+    loss_ss = smoothed_cross_entropy(
+        re_ss_logits, gt_ss_labels, mask, w["label_smoothing"]
+    )
+
+    # ----- SS total variation (models/vq_vae.py:1203-1215) -----
+    zero = jnp.asarray(0.0, f32)
+    ss_tv = zero
+    if statics.ss_tv and re_ss_logits.shape[1] >= 2:
+        p = jax.nn.softmax(re_ss_logits, axis=-1)
+        tv = jnp.sum(jnp.abs(p[:, 1:, :] - p[:, :-1, :]), axis=-1)
+        ss_tv = masked_mean(tv, pair_mask(mask, 2))
+
+    # ----- de-normalized ("real") coordinates (models/vq_vae.py:1217-1227) --
+    if data_std is not None:
+        mean_term = data_mean if data_mean is not None else 0.0
+        re_xyz_real = re_xyz * data_std + mean_term
+        gt_xyz_real = gt_xyz * data_std + mean_term
+    else:
+        re_xyz_real, gt_xyz_real = re_xyz, gt_xyz
+
+    # ----- bond length / angle / direction / dihedral -----
+    L = re_xyz_real.shape[1]
+    bl = ba = dir_loss = dih = zero
+    if L >= 2:
+        re_len = geometry.bond_lengths(re_xyz_real)
+        gt_len = geometry.bond_lengths(gt_xyz_real)
+        bl = masked_mean((re_len - gt_len) ** 2, pair_mask(mask, 2))
+        u_rec = unit(re_xyz_real[:, 1:, :] - re_xyz_real[:, :-1, :])
+        u_gt = unit(gt_xyz_real[:, 1:, :] - gt_xyz_real[:, :-1, :])
+        dir_err = 1.0 - jnp.sum(u_rec * u_gt, axis=-1)
+        dir_loss = masked_mean(dir_err, pair_mask(mask, 2))
+    if L >= 3:
+        cos_rec = geometry.bond_angle_cos(re_xyz_real)
+        cos_gt = geometry.bond_angle_cos(gt_xyz_real)
+        ba = masked_mean((cos_rec - cos_gt) ** 2, pair_mask(mask, 3))
+    if L >= 4:
+        dih_rec = geometry.dihedral_cos_sin(re_xyz_real)
+        dih_gt = geometry.dihedral_cos_sin(gt_xyz_real)
+        dih_sq = jnp.sum((dih_rec - dih_gt) ** 2, axis=-1)
+        dih = masked_mean(dih_sq, pair_mask(mask, 4))
+
+    geom_loss = (
+        w["bond_length_weight"] * bl
+        + w["bond_angle_weight"] * ba
+        + w["dir_weight"] * dir_loss
+        + w["dih_weight"] * dih
+    )
+
+    # ----- VQ commitment (codebook side is EMA-only; vq_vae.py:1292-1296) ---
+    if statics.use_vq:
+        commit = jnp.mean(
+            (jax.lax.stop_gradient(zq_raw.astype(f32)) - ze_raw.astype(f32))
+            ** 2
+        )
+        vq_loss = w["beta"] * commit
+    else:
+        vq_loss = zero
+
+    # ----- usage-entropy regularizer (vq_vae.py:1299-1309) -----
+    usage_reg = zero
+    if statics.usage_entropy and statics.use_vq and embedding is not None:
+        flat_ze = ze_raw.reshape(-1, ze_raw.shape[-1]).astype(f32)
+        logits = flat_ze @ jax.lax.stop_gradient(embedding.astype(f32)).T
+        probs = jax.nn.softmax(logits, axis=-1)
+        p_code = jnp.mean(probs, axis=0)
+        entropy = -jnp.sum(p_code * jnp.log(jnp.clip(p_code, 1e-12, None)))
+        usage_reg = -w["usage_entropy_lambda"] * entropy
+
+    # ----- xyz second-difference TV (vq_vae.py:1312-1322) -----
+    xyz_tv = zero
+    if statics.xyz_tv and L >= 3:
+        tv2 = geometry.second_difference_sq(re_xyz)
+        xyz_tv = masked_mean(tv2, pair_mask(mask, 3))
+
+    # ----- heavy optional geometry (statically gated) -----
+    geom_local_pdm = (
+        pairwise_pdm_loss(re_xyz_real, gt_xyz_real, mask, statics.pdm_window)
+        if statics.pdm
+        else zero
+    )
+    geom_winkabsch = (
+        window_kabsch_loss(
+            re_xyz_real, gt_xyz_real, mask,
+            statics.win_kabsch_size, statics.win_kabsch_stride,
+        )
+        if statics.win_kabsch
+        else zero
+    )
+    if statics.kappa or statics.tau:
+        fr_kappa, fr_tau = frenet_regularizers(re_xyz_real, mask)
+        fr_kappa = fr_kappa if statics.kappa else zero
+        fr_tau = fr_tau if statics.tau else zero
+    else:
+        fr_kappa, fr_tau = zero, zero
+    geom_lr_pdm = (
+        long_range_pdm_loss(
+            re_xyz_real, gt_xyz_real, mask,
+            statics.lr_min_sep, statics.lr_stride, statics.lr_max_offsets,
+        )
+        if statics.lr_pdm
+        else zero
+    )
+
+    total = (
+        w["rmsd_weight"] * loss_xyz
+        + w["ss_weight"] * loss_ss
+        + vq_loss
+        + geom_loss
+        + w["ss_tv_lambda"] * ss_tv
+        + usage_reg
+        + w["xyz_tv_lambda"] * xyz_tv
+        + w["pdm_weight"] * geom_local_pdm
+        + w["win_kabsch_weight"] * geom_winkabsch
+        + w["kappa_weight"] * fr_kappa
+        + w["tau_weight"] * fr_tau
+        + w["lr_pdm_weight"] * geom_lr_pdm
+    )
+
+    # ----- metrics -----
+    pred_labels = jnp.argmax(re_ss_logits, axis=-1)
+    correct = (pred_labels == gt_ss_labels)
+    if mask is not None:
+        correct = correct & mask
+        ss_acc = jnp.sum(correct.astype(f32)) / jnp.clip(
+            jnp.sum(mask.astype(f32)), 1.0, None
+        )
+    else:
+        ss_acc = jnp.mean(correct.astype(f32))
+
+    out = {
+        "loss": total,
+        "Reconstruction_Loss_XYZ": jax.lax.stop_gradient(loss_xyz),
+        "XYZ_MSE_Raw": jax.lax.stop_gradient(loss_xyz_raw),
+        "XYZ_MSE_Aligned": jax.lax.stop_gradient(jnp.mean(aln_mse)),
+        "Reconstruction_Loss_SS": jax.lax.stop_gradient(loss_ss),
+        "SS_Accuracy": ss_acc,
+        "VQ_Loss": jax.lax.stop_gradient(vq_loss),
+        "Geom_BondLength_Loss": jax.lax.stop_gradient(bl),
+        "Geom_BondAngle_Loss": jax.lax.stop_gradient(ba),
+        "Geom_Direction_Loss": jax.lax.stop_gradient(dir_loss),
+        "Geom_Dihedral_Loss": jax.lax.stop_gradient(dih),
+        "Geom_Loss": jax.lax.stop_gradient(geom_loss),
+        "SS_TV": jax.lax.stop_gradient(ss_tv),
+        "Usage_Reg": jax.lax.stop_gradient(usage_reg),
+        "XYZ_TV2": jax.lax.stop_gradient(xyz_tv),
+        "VQ_Perplexity": ppl,
+        "VQ_DeadRatio": dead,
+        "RMSD_Raw": rmsd_raw,
+        "RMSD_Aligned": rmsd_aligned,
+    }
+    if statics.pdm:
+        out["Geom_LocalPDM"] = jax.lax.stop_gradient(geom_local_pdm)
+    if statics.win_kabsch:
+        out["Geom_WinKabsch"] = jax.lax.stop_gradient(geom_winkabsch)
+    if statics.kappa:
+        out["Frenet_Kappa"] = jax.lax.stop_gradient(fr_kappa)
+    if statics.tau:
+        out["Frenet_Tau"] = jax.lax.stop_gradient(fr_tau)
+    if statics.lr_pdm:
+        out["Geom_LongRangePDM"] = jax.lax.stop_gradient(geom_lr_pdm)
+    return out

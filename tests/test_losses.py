@@ -1,0 +1,205 @@
+"""Curve loss family tests, including torch oracles for the tricky terms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_vae_tpu.config import DEFAULT_WEIGHT_KEYS
+from pytorch_vae_tpu.ops import geometry
+from pytorch_vae_tpu.ops.losses import (
+    LossStatics,
+    curve_loss,
+    long_range_pdm_loss,
+    pairwise_pdm_loss,
+    smoothed_cross_entropy,
+    window_kabsch_loss,
+)
+from pytorch_vae_tpu.ops.masking import masked_mean, mse_per_sample, pair_mask
+
+
+def _fake_batch(key, B=3, L=24):
+    k1, k2, k3 = jax.random.split(key, 3)
+    recons = jax.random.normal(k1, (B, L, 6))
+    xyz = jnp.cumsum(jax.random.normal(k2, (B, L, 3)), axis=1)
+    labels = jax.random.randint(k3, (B, L), 0, 3)
+    ss = jax.nn.one_hot(labels, 3)
+    target = jnp.concatenate([xyz, ss], axis=-1)
+    mask = jnp.arange(L)[None, :] < jnp.array([L, L - 6, L // 2])[:, None]
+    return recons, target, mask
+
+
+def _weights(**over):
+    w = dict(DEFAULT_WEIGHT_KEYS)
+    w.update(over)
+    return w
+
+
+def _statics(L, **over):
+    return LossStatics(use_vq=False, seq_len=L, **over)
+
+
+def _vq_pack(recons):
+    B, L, _ = recons.shape
+    z = jnp.zeros((B, 4, 8))
+    return (z, z, jnp.zeros((B, 4), jnp.int32), jnp.asarray(0.0),
+            jnp.asarray(0.0))
+
+
+def test_smoothed_ce_equals_plain_ce_at_zero_eps():
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (2, 10, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 3)
+    mask = jnp.arange(10)[None, :] < jnp.array([10, 6])[:, None]
+    got = smoothed_cross_entropy(logits, labels, mask, jnp.asarray(0.0))
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    want = masked_mean(ce, mask)
+    np.testing.assert_allclose(float(got), float(want), atol=1e-6)
+
+
+def test_smoothed_ce_matches_torch_kldiv_form():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2, 7, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, size=(2, 7))
+    eps = 0.1
+    got = float(
+        smoothed_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                               None, jnp.asarray(eps))
+    )
+    tl = torch.tensor(logits)
+    logp = torch.log_softmax(tl, dim=-1)
+    td = torch.full_like(tl, eps / 2)
+    td.scatter_(-1, torch.tensor(labels)[..., None], 1.0 - eps)
+    kl = torch.nn.functional.kl_div(logp, td, reduction="none").sum(-1)
+    np.testing.assert_allclose(got, float(kl.mean()), atol=1e-5)
+
+
+def test_dihedral_matches_torch_oracle():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    x = np.cumsum(rng.normal(size=(2, 12, 3)), axis=1).astype(np.float32)
+    got = np.asarray(geometry.dihedral_cos_sin(jnp.asarray(x)))
+
+    tx = torch.tensor(x)
+    v1 = tx[:, 1:-2] - tx[:, :-3]
+    v2 = tx[:, 2:-1] - tx[:, 1:-2]
+    v3 = tx[:, 3:] - tx[:, 2:-1]
+
+    def unit(v):
+        return v / (v.norm(dim=-1, keepdim=True) + 1e-8)
+
+    b1, b2, b3 = unit(v1), unit(v2), unit(v3)
+    n1 = unit(torch.cross(b1, b2, dim=-1))
+    n2 = unit(torch.cross(b2, b3, dim=-1))
+    m1 = torch.cross(n1, unit(b2), dim=-1)
+    cos_t = (n1 * n2).sum(-1, keepdim=True).clamp(-1, 1)
+    sin_t = (m1 * n2).sum(-1, keepdim=True).clamp(-1, 1)
+    want = torch.cat([cos_t, sin_t], dim=-1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_loss_ignores_padded_garbage():
+    """Everything the loss computes must be invariant to pad-region values."""
+    recons, target, mask = _fake_batch(jax.random.PRNGKey(2))
+    w = _weights(pdm_weight=0.1, win_kabsch_weight=0.1, lr_pdm_weight=0.1,
+                 kappa_weight=0.1, tau_weight=0.1, ss_tv_lambda=0.1,
+                 xyz_tv_lambda=0.1, bond_length_weight=0.1,
+                 bond_angle_weight=0.1, dir_weight=0.1, dih_weight=0.1)
+    st = _statics(recons.shape[1], pdm=True, win_kabsch=True, kappa=True,
+                  tau=True, lr_pdm=True, ss_tv=True,
+                  pdm_window=4, win_kabsch_size=8, win_kabsch_stride=4,
+                  lr_min_sep=6, lr_stride=3, lr_max_offsets=3)
+    pack = _vq_pack(recons)
+    base = curve_loss(recons, target, pack, mask, w, st)
+
+    poison = jnp.where(mask[..., None], recons, 1234.5)
+    poison_t = jnp.where(mask[..., None], target, -999.0)
+    poisoned = curve_loss(poison, poison_t, pack, mask, w, st)
+    for k in base:
+        np.testing.assert_allclose(
+            float(base[k]), float(poisoned[k]), atol=1e-3, rtol=1e-4,
+            err_msg=f"term {k} leaked padded values",
+        )
+
+
+def test_loss_alignment_blending():
+    """Perfect-up-to-rotation recon: aligned loss ~0, raw loss large."""
+    key = jax.random.PRNGKey(3)
+    _, target, mask = _fake_batch(key)
+    xyz = target[..., :3]
+    R = geometry.random_rotation(jax.random.PRNGKey(4), xyz.shape[0])
+    xyz_rot = jnp.asarray(np.einsum(
+        "bij,blj->bli", np.asarray(R, np.float64),
+        np.asarray(xyz, np.float64)).astype(np.float32))
+    recons = jnp.concatenate([xyz_rot, target[..., 3:] * 10.0], axis=-1)
+    st = _statics(target.shape[1])
+    pack = _vq_pack(recons)
+
+    w_aln = _weights(xyz_align_alpha=1.0)
+    out = curve_loss(recons, target, pack, mask, w_aln, st)
+    assert float(out["XYZ_MSE_Raw"]) > 0.5
+    assert float(out["Reconstruction_Loss_XYZ"]) < 1e-3
+    assert float(out["RMSD_Aligned"]) < 1e-2
+
+    w_raw = _weights(xyz_align_alpha=0.0)
+    out2 = curve_loss(recons, target, pack, mask, w_raw, st)
+    np.testing.assert_allclose(float(out2["Reconstruction_Loss_XYZ"]),
+                               float(out2["XYZ_MSE_Raw"]), rtol=1e-5)
+
+
+def test_local_pdm_per_offset_mean_order():
+    """Matches reference accumulation: mean over offsets of masked means."""
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.normal(size=(2, 10, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 10, 3)).astype(np.float32))
+    mask = jnp.ones((2, 10), bool)
+    got = float(pairwise_pdm_loss(a, b, mask, window=4))
+    terms = []
+    for d in range(1, 4):
+        da = np.linalg.norm(np.asarray(a)[:, :-d] - np.asarray(a)[:, d:],
+                            axis=-1)
+        db = np.linalg.norm(np.asarray(b)[:, :-d] - np.asarray(b)[:, d:],
+                            axis=-1)
+        terms.append(((da - db) ** 2).mean())
+    np.testing.assert_allclose(got, np.mean(terms), rtol=1e-5)
+
+
+def test_window_kabsch_zero_for_rigidly_movable_windows():
+    key = jax.random.PRNGKey(6)
+    a = jnp.cumsum(jax.random.normal(key, (2, 20, 3)), axis=1)
+    R = geometry.random_rotation(jax.random.PRNGKey(7), 2)
+    b = jnp.asarray((np.einsum(
+        "bij,blj->bli", np.asarray(R, np.float64),
+        np.asarray(a, np.float64)) + 3.0).astype(np.float32))
+    mask = jnp.ones((2, 20), bool)
+    val = float(window_kabsch_loss(a, b, mask, win=8, stride=4))
+    assert val < 1e-5
+
+
+def test_long_range_pdm_translation_invariant():
+    key = jax.random.PRNGKey(8)
+    a = jnp.cumsum(jax.random.normal(key, (2, 40, 3)), axis=1)
+    b = a + jnp.array([5.0, -2.0, 1.0])
+    mask = jnp.ones((2, 40), bool)
+    val = float(long_range_pdm_loss(a, b, mask, min_sep=10, stride=4,
+                                    max_offsets=4))
+    assert val < 1e-8
+
+
+def test_mse_per_sample_masked():
+    a = jnp.ones((1, 4, 3))
+    b = jnp.zeros((1, 4, 3))
+    mask = jnp.array([[True, True, False, False]])
+    # per-position summed-square error = 3; mean over 2 valid = 3
+    np.testing.assert_allclose(float(mse_per_sample(a, b, mask)[0]), 3.0)
+
+
+def test_pair_mask():
+    m = jnp.array([[True, True, True, False, True]])
+    pm = pair_mask(m, 2)
+    np.testing.assert_array_equal(
+        np.asarray(pm), [[True, True, False, False]])
+    pm3 = pair_mask(m, 3)
+    np.testing.assert_array_equal(np.asarray(pm3), [[True, False, False]])
