@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Headline benchmark: VanillaVAE train throughput, images/sec/chip @ 64x64.
+
+BASELINE.md target: >= 10,000 train images/sec/chip on TPU v5e (the
+driver-set north star; the reference publishes no numbers). The benchmark
+times the full jitted train step (forward + ELBO + grads + Adam update) on
+synthetic on-device data so host IO is excluded, bf16 conv compute /
+fp32 reductions, batch 256.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+BATCH = 256
+IMAGE_SIZE = 64
+WARMUP = 3
+ITERS = 20
+TARGET = 10_000.0
+
+
+def main() -> None:
+    from pytorch_vae_tpu.models.vanilla_vae import VanillaVAE
+
+    n_chips = max(1, len(jax.devices()))
+    model = VanillaVAE(in_channels=3, latent_dim=128, image_size=IMAGE_SIZE,
+                       dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(key, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3),
+                            jnp.float32) * 2 - 1
+    variables = model.init({"params": key, "reparam": key}, x0, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def train_step(params, batch_stats, opt_state, x, rng):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                rngs={"reparam": rng}, mutable=["batch_stats"])
+            ld = model.loss(*out, kld_weight=0.00025)
+            return ld["loss"], mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    rngs = jax.random.split(jax.random.PRNGKey(1), WARMUP + ITERS)
+    for i in range(WARMUP):
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, x0, rngs[i])
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, x0, rngs[WARMUP + i])
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * ITERS / dt
+    per_chip = imgs_per_sec / n_chips
+    print(json.dumps({
+        "metric": "train images/sec/chip, VanillaVAE 64x64 bf16 batch "
+                  f"{BATCH}",
+        "value": round(per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

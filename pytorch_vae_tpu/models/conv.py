@@ -1,0 +1,108 @@
+"""Shared convolutional encoder/decoder stacks for the image zoo.
+
+TPU-native layout: NHWC tensors (the native TPU convolution layout),
+Conv -> BatchNorm -> LeakyReLU blocks at strides of 2, mirroring the
+upstream zoo's stacks (hidden_dims [32, 64, 128, 256, 512] over 64x64
+inputs -> 2x2x512 features). BatchNorm running stats live in the
+"batch_stats" collection; under pjit the batch axis is global, so the
+statistics are synchronized across chips by construction.
+
+Compute dtype is configurable (bfloat16 for throughput on the MXU);
+normalization statistics and loss reductions stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+DEFAULT_HIDDEN_DIMS = (32, 64, 128, 256, 512)
+
+
+class ConvBlock(nn.Module):
+    features: int
+    stride: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)), dtype=self.dtype,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.kaiming_normal(), (None, None, None, "mlp")),
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32,
+        )(x)
+        return nn.leaky_relu(x, 0.01)
+
+
+class DeconvBlock(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(
+            self.features, (3, 3), strides=(2, 2),
+            padding="SAME", transpose_kernel=False,
+            dtype=self.dtype,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.kaiming_normal(), (None, None, None, "mlp")),
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32,
+        )(x)
+        return nn.leaky_relu(x, 0.01)
+
+
+class ConvEncoder(nn.Module):
+    """Strided conv trunk -> flat feature vector [B, F]."""
+
+    hidden_dims: Sequence[int] = DEFAULT_HIDDEN_DIMS
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for h in self.hidden_dims:
+            x = ConvBlock(h, dtype=self.dtype)(x, train=train)
+        return x.reshape(x.shape[0], -1)
+
+
+class ConvDecoder(nn.Module):
+    """Latent vector -> NHWC image in [-1, 1] (tanh head).
+
+    Mirrors the zoo decoder: Linear -> reshape 2x2 -> deconv pyramid ->
+    final deconv + 3x3 conv -> tanh.
+    """
+
+    hidden_dims: Sequence[int] = DEFAULT_HIDDEN_DIMS
+    out_channels: int = 3
+    base_hw: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        dims = list(self.hidden_dims)[::-1]  # [512, 256, 128, 64, 32]
+        B = z.shape[0]
+        x = nn.Dense(dims[0] * self.base_hw * self.base_hw,
+                     dtype=self.dtype, name="decoder_input")(z)
+        x = x.reshape(B, self.base_hw, self.base_hw, dims[0])
+        for h in dims[1:]:
+            x = DeconvBlock(h, dtype=self.dtype)(x, train=train)
+        x = DeconvBlock(dims[-1], dtype=self.dtype)(x, train=train)
+        x = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="final_conv")(x)
+        return nn.tanh(x.astype(jnp.float32))
+
+
+def encoder_output_dim(hidden_dims: Sequence[int], image_size: int) -> Tuple[int, int]:
+    """(flat feature dim, spatial size) after the strided trunk."""
+    hw = image_size // (2 ** len(hidden_dims))
+    hw = max(hw, 1)
+    return hidden_dims[-1] * hw * hw, hw

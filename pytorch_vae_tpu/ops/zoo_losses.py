@@ -1,0 +1,220 @@
+"""Classic VAE-zoo loss family as jit-fused reductions.
+
+Covers the losses the upstream model zoo exposes (reference README model
+list; BASELINE.json configs): Gaussian ELBO/KL, WAE-MMD with RBF and IMQ
+kernels, IWAE/MIWAE importance-weighted bounds, beta-TC decomposition
+terms, and MS-SSIM. Everything is a pure function over arrays; reductions
+happen in float32 regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def gaussian_kl(mu: jnp.ndarray, log_var: jnp.ndarray) -> jnp.ndarray:
+    """KL(q(z|x) || N(0, I)) per sample, summed over latent dims -> [B]."""
+    mu = mu.astype(jnp.float32)
+    log_var = log_var.astype(jnp.float32)
+    return -0.5 * jnp.sum(1 + log_var - mu**2 - jnp.exp(log_var), axis=-1)
+
+
+def reparameterize(key: jax.Array, mu: jnp.ndarray,
+                   log_var: jnp.ndarray) -> jnp.ndarray:
+    std = jnp.exp(0.5 * log_var)
+    eps = jax.random.normal(key, mu.shape, mu.dtype)
+    return mu + eps * std
+
+
+def gaussian_log_prob(x: jnp.ndarray, mu: jnp.ndarray,
+                      log_var: jnp.ndarray) -> jnp.ndarray:
+    """log N(x; mu, diag(exp(log_var))) summed over the last axis."""
+    x = x.astype(jnp.float32)
+    mu = mu.astype(jnp.float32)
+    log_var = log_var.astype(jnp.float32)
+    return -0.5 * jnp.sum(
+        log_var + math.log(2 * math.pi) + (x - mu) ** 2 / jnp.exp(log_var),
+        axis=-1,
+    )
+
+
+def std_normal_log_prob(z: jnp.ndarray) -> jnp.ndarray:
+    z = z.astype(jnp.float32)
+    return -0.5 * jnp.sum(z**2 + math.log(2 * math.pi), axis=-1)
+
+
+# ---------------------------------------------------------------------
+# MMD kernels (WAE)
+# ---------------------------------------------------------------------
+def _sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared distances [N, M] via the expanded-norm form."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    aa = jnp.sum(a * a, axis=1, keepdims=True)
+    bb = jnp.sum(b * b, axis=1, keepdims=True).T
+    ab = a @ b.T
+    return jnp.maximum(aa - 2 * ab + bb, 0.0)
+
+
+def rbf_kernel(a: jnp.ndarray, b: jnp.ndarray,
+               latent_var: float = 2.0) -> jnp.ndarray:
+    """RBF kernel with the zoo's bandwidth convention
+    sigma^2 = 2 * D * latent_var."""
+    d = a.shape[-1]
+    sigma2 = 2.0 * d * latent_var
+    return jnp.exp(-_sq_dists(a, b) / sigma2)
+
+
+def imq_kernel(a: jnp.ndarray, b: jnp.ndarray, latent_var: float = 2.0,
+               scales: Tuple[float, ...] = (0.1, 0.2, 0.5, 1.0, 2.0, 5.0,
+                                            10.0)) -> jnp.ndarray:
+    """Inverse multiquadric kernel, summed over a scale ladder:
+    sum_s C_s / (C_s + ||a-b||^2) with C_s = 2 * D * latent_var * s."""
+    d = a.shape[-1]
+    c_base = 2.0 * d * latent_var
+    d2 = _sq_dists(a, b)
+    out = jnp.zeros_like(d2)
+    for s in scales:
+        c = c_base * s
+        out = out + c / (c + d2)
+    return out
+
+
+def mmd(z: jnp.ndarray, prior_z: jnp.ndarray, kernel_type: str = "imq",
+        latent_var: float = 2.0) -> jnp.ndarray:
+    """Unbiased MMD^2 between the aggregate posterior and the prior.
+
+    Diagonal terms are excluded from the same-set averages (U-statistic).
+    """
+    kern = rbf_kernel if kernel_type == "rbf" else imq_kernel
+    n = z.shape[0]
+    k_zz = kern(z, z, latent_var)
+    k_pp = kern(prior_z, prior_z, latent_var)
+    k_zp = kern(z, prior_z, latent_var)
+    off = 1.0 - jnp.eye(n, dtype=k_zz.dtype)
+    denom = jnp.maximum(n * (n - 1), 1)
+    return (
+        jnp.sum(k_zz * off) / denom
+        + jnp.sum(k_pp * off) / denom
+        - 2.0 * jnp.sum(k_zp) / (n * n)
+    )
+
+
+# ---------------------------------------------------------------------
+# IWAE / MIWAE bounds
+# ---------------------------------------------------------------------
+def iwae_bound(log_w: jnp.ndarray) -> jnp.ndarray:
+    """-(logsumexp_k(log w) - log K) per sample; log_w: [B, K] -> [B]."""
+    K = log_w.shape[-1]
+    return -(jax.scipy.special.logsumexp(log_w, axis=-1) - math.log(K))
+
+
+def miwae_bound(log_w: jnp.ndarray) -> jnp.ndarray:
+    """Mean over M of the per-estimate IWAE_K bound; log_w: [B, M, K]."""
+    K = log_w.shape[-1]
+    per_m = jax.scipy.special.logsumexp(log_w, axis=-1) - math.log(K)
+    return -jnp.mean(per_m, axis=-1)
+
+
+# ---------------------------------------------------------------------
+# beta-TC decomposition (minibatch-weighted sampling)
+# ---------------------------------------------------------------------
+def log_qz_matrix(z: jnp.ndarray, mu: jnp.ndarray,
+                  log_var: jnp.ndarray) -> jnp.ndarray:
+    """log q(z_i | x_j) per latent dim: [B, B, D]."""
+    z = z.astype(jnp.float32)[:, None, :]
+    mu = mu.astype(jnp.float32)[None, :, :]
+    log_var = log_var.astype(jnp.float32)[None, :, :]
+    return -0.5 * (
+        log_var + math.log(2 * math.pi)
+        + (z - mu) ** 2 / jnp.exp(log_var)
+    )
+
+
+def betatc_terms(z, mu, log_var, dataset_size: float):
+    """(mutual-info, total-correlation, dim-wise KL) per batch, using the
+    minibatch-weighted-sampling estimator of the TC decomposition."""
+    B = z.shape[0]
+    log_q_zx = gaussian_log_prob(z, mu, log_var)        # [B]
+    log_p_z = std_normal_log_prob(z)                    # [B]
+    mat = log_qz_matrix(z, mu, log_var)                 # [B, B, D]
+    strat = math.log(B * max(dataset_size, B))
+    log_qz = jax.scipy.special.logsumexp(
+        jnp.sum(mat, axis=2), axis=1) - strat           # [B]
+    log_prod_qzi = jnp.sum(
+        jax.scipy.special.logsumexp(mat, axis=1) - strat, axis=1)  # [B]
+    mi = jnp.mean(log_q_zx - log_qz)
+    tc = jnp.mean(log_qz - log_prod_qzi)
+    dwkl = jnp.mean(log_prod_qzi - log_p_z)
+    return mi, tc, dwkl
+
+
+# ---------------------------------------------------------------------
+# MS-SSIM
+# ---------------------------------------------------------------------
+def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    return g / jnp.sum(g)
+
+
+def _ssim_pair(a: jnp.ndarray, b: jnp.ndarray, window_size: int = 11,
+               sigma: float = 1.5, data_range: float = 2.0):
+    """Per-channel SSIM + contrast-structure maps; a, b: NHWC in [-1, 1]."""
+    C = a.shape[-1]
+    w1 = _gaussian_window(window_size, sigma)
+    kernel = jnp.outer(w1, w1)[:, :, None, None]  # [H, W, 1, 1]
+    kernel = jnp.tile(kernel, (1, 1, 1, C))
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), kernel,
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+        )
+
+    mu_a, mu_b = filt(a), filt(b)
+    mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
+    s_aa = filt(a * a) - mu_aa
+    s_bb = filt(b * b) - mu_bb
+    s_ab = filt(a * b) - mu_ab
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    cs = (2 * s_ab + c2) / (s_aa + s_bb + c2)
+    ssim = ((2 * mu_ab + c1) / (mu_aa + mu_bb + c1)) * cs
+    return jnp.mean(ssim), jnp.mean(cs)
+
+
+def ms_ssim(a: jnp.ndarray, b: jnp.ndarray, levels: int = 3,
+            window_size: int = 11, data_range: float = 2.0) -> jnp.ndarray:
+    """Multi-scale SSIM over `levels` dyadic scales; NHWC inputs.
+
+    Levels are capped so every scale stays >= window_size (a smaller map
+    would make the VALID filter degenerate and poison the product).
+    """
+    min_hw = min(a.shape[1], a.shape[2])
+    feasible = 1
+    while feasible < levels and (min_hw >> feasible) >= window_size:
+        feasible += 1
+    levels = max(1, min(levels, feasible))
+    weights = jnp.asarray([0.0448, 0.2856, 0.3001, 0.2363, 0.1333][:levels])
+    weights = weights / jnp.sum(weights)
+    vals = []
+    for lv in range(levels):
+        ssim, cs = _ssim_pair(a, b, window_size, data_range=data_range)
+        vals.append(cs if lv < levels - 1 else ssim)
+        if lv < levels - 1:
+            a = jax.lax.reduce_window(
+                a, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            ) / 4.0
+            b = jax.lax.reduce_window(
+                b, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            ) / 4.0
+    vals = jnp.stack(vals)
+    vals = jnp.clip(vals, 1e-6, 1.0)
+    return jnp.prod(vals ** weights)

@@ -61,6 +61,33 @@ def main() -> None:
     seed = exp_params.get("manual_seed", 42)
     print(f"[Seed] manual_seed={seed}")
 
+    # Dispatch: classic image-zoo models (registry names like "VanillaVAE")
+    # run through the zoo experiment; everything else is the curve VQ-VAE
+    # two-stage flow.
+    from pytorch_vae_tpu.models import vae_models
+    from pytorch_vae_tpu.models.vq_vae import VQVAE as _CurveVQVAE
+
+    name_key = model_params.get("name", "VQVAE")
+    if name_key in vae_models and vae_models[name_key] is not _CurveVQVAE:
+        from pytorch_vae_tpu.training.zoo_experiment import ZooExperiment
+
+        zoo = ZooExperiment(model_params, exp_params, data_params,
+                            trainer_params, logging_params)
+        print(f"======= Training {name_key} (zoo) =======")
+        start = time.time()
+        zoo.fit(max_epochs=args.max_epochs,
+                resume_ckpt=args.resume_ckpt or None,
+                limit_train_batches=args.limit_train_batches)
+        print(f"[Done] Training completed in "
+              f"{(time.time() - start) / 60:.2f} minutes.")
+        return
+
+    if "npy_dir" not in data_params:
+        raise KeyError(
+            f"model name {name_key!r} is not a registered zoo model "
+            f"({sorted(vae_models)}) and the config has no curve-data "
+            f"'npy_dir' — typo in model_params.name?")
+
     npy_dir = data_params["npy_dir"]
     if args.synthetic and not os.path.isdir(npy_dir):
         from pytorch_vae_tpu.data.synthetic import make_synthetic_curve_dir
