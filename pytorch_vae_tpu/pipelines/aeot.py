@@ -1,0 +1,280 @@
+"""AE-OT latent sampling: semi-discrete optimal transport on TPU.
+
+The reference delegates OT to an external `pyOMT_raw` module
+(scripts/run_aeot_end2end.py:67-77) and consumes only a narrow surface:
+per random source batch x, the "measure" matrix U[i, j] = <P_i, x_j> + h_i,
+its top-2 argmax rows, an angular filter on the lifted cell normals
+[P_i, -1], pair canonicalization + dedup, and random convex interpolation
+of latents and lengths (scripts/run_aeot_end2end.py:211-265).
+
+This module re-implements that surface natively — the N x D x B measure
+matmul is exactly MXU-shaped — and additionally provides a potential
+trainer (Adam on h against a uniform target measure) so the pipeline is
+self-contained without the external AE-OT repo (SURVEY.md §7.1 step 7).
+
+Checkpoint interop: `load_latent_bank` / `load_potential` read both our
+.npz banks and the reference's torch .pt artifacts (features_5w.pt, h.pt).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def _source_sampler(name: str) -> Callable[[jax.Array, Tuple[int, int]],
+                                           Array]:
+    """Source (absolutely continuous) measure for the semi-discrete OT.
+
+    "uniform01" suits sigmoid-squashed stage-1 latents (z in (0,1),
+    models/vq_vae.py:740-742); "uniform" is the classic AE-OT
+    [-0.5, 0.5]^D cube; "gaussian" is N(0, I).
+    """
+    if name == "uniform01":
+        return lambda key, shape: jax.random.uniform(key, shape)
+    if name == "uniform":
+        return lambda key, shape: jax.random.uniform(key, shape) - 0.5
+    if name == "gaussian":
+        return lambda key, shape: jax.random.normal(key, shape)
+    raise ValueError(f"unknown source distribution {name!r}")
+
+
+@dataclasses.dataclass
+class SemiDiscreteOT:
+    """Brenier potential for a semi-discrete OT map source -> {P_i}.
+
+    The piecewise-linear dual potential is u_h(x) = max_i <P_i, x> + h_i;
+    the OT map sends x to P_{argmax}. Cell measures are estimated by Monte
+    Carlo over the source distribution.
+    """
+
+    P: np.ndarray            # [N, D] target latent bank
+    h: np.ndarray            # [N] potential
+    source: str = "uniform01"
+
+    def __post_init__(self):
+        self.P = np.asarray(self.P, np.float32)
+        self.h = np.asarray(self.h, np.float32).reshape(-1)
+        assert self.P.shape[0] == self.h.shape[0], \
+            (self.P.shape, self.h.shape)
+
+    @property
+    def num_cells(self) -> int:
+        return self.P.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.P.shape[1]
+
+    # -- core measure computation (MXU matmul) --
+    def top2_cells(self, x: Array) -> Tuple[Array, Array]:
+        """x [B, D] -> (top2 idx [B, 2], top2 values [B, 2]) of U."""
+        P = jnp.asarray(self.P)
+        h = jnp.asarray(self.h)
+        u = x @ P.T + h[None, :]  # [B, N]
+        vals, idx = jax.lax.top_k(u, 2)
+        return idx, vals
+
+    def map_cells(self, x: Array) -> Array:
+        """OT map cell index per source sample."""
+        return self.top2_cells(x)[0][:, 0]
+
+    # -- potential training (replaces the external h.pt trainer) --
+    def train_potential(
+        self,
+        key: jax.Array,
+        iters: int = 500,
+        batch: int = 8192,
+        lr: float = 1e-2,
+        target_measure: Optional[np.ndarray] = None,
+        verbose: bool = False,
+    ) -> np.ndarray:
+        """Adam ascent on the dual: grad_h = nu - empirical cell frequency.
+
+        At the optimum each cell receives its target measure nu_i
+        (uniform 1/N by default). Returns and stores the trained h.
+        """
+        N = self.num_cells
+        nu = (jnp.full((N,), 1.0 / N) if target_measure is None
+              else jnp.asarray(target_measure, jnp.float32))
+        P = jnp.asarray(self.P)
+        sample = _source_sampler(self.source)
+
+        @jax.jit
+        def step(h, m, v, t, k):
+            x = sample(k, (batch, self.dim))
+            u = x @ P.T + h[None, :]
+            idx = jnp.argmax(u, axis=1)
+            freq = jnp.zeros((N,), jnp.float32).at[idx].add(1.0) / batch
+            g = freq - nu  # descend on (empirical - target)
+            m = 0.9 * m + 0.1 * g
+            v = 0.999 * v + 0.001 * g * g
+            mhat = m / (1 - 0.9**t)
+            vhat = v / (1 - 0.999**t)
+            h = h - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+            # the potential is translation invariant; pin the mean
+            h = h - jnp.mean(h)
+            return h, m, v, jnp.max(jnp.abs(g))
+
+        h = jnp.asarray(self.h)
+        m = jnp.zeros_like(h)
+        v = jnp.zeros_like(h)
+        for t in range(1, iters + 1):
+            key, sub = jax.random.split(key)
+            h, m, v, gmax = step(h, m, v, jnp.asarray(float(t)), sub)
+            if verbose and t % max(1, iters // 10) == 0:
+                print(f"[OT] iter {t}: max |measure err| = {float(gmax):.5f}")
+        self.h = np.asarray(h)
+        return self.h
+
+    # -- extended sampling (C14: sample_with_aeot_omt surface) --
+    def sample_extended(self, key: jax.Array, num: int,
+                        k_neighbors: int = 2, theta_deg: float = 20.0
+                        ) -> Dict[str, np.ndarray]:
+        """Top-k cells per sample; keep pairs among the k whose lifted
+        normals are within theta; convex-combine the pair latents.
+
+        Generalizes the end2end top-2 path (k_neighbors=2 reproduces it).
+        Returns {"latents" [M, D], "pair_idx" [M, 2], "weights" [M]}.
+        """
+        kx, kw = jax.random.split(key)
+        x = _source_sampler(self.source)(kx, (num, self.dim))
+        P = jnp.asarray(self.P)
+        h = jnp.asarray(self.h)
+        u = x @ P.T + h[None, :]
+        _, idx = jax.lax.top_k(u, k_neighbors)  # [B, k]
+        nm = lifted_normals(self.P)
+        # pair the top-1 with each other neighbor; keep angularly-close ones
+        cos_th = float(np.cos(np.deg2rad(theta_deg)))
+        a = np.asarray(idx[:, :1]).repeat(k_neighbors - 1, axis=1).ravel()
+        b = np.asarray(idx[:, 1:]).ravel()
+        cs = np.sum(nm[a] * nm[b], axis=1)
+        keep = cs > cos_th
+        pairs = np.stack([a[keep], b[keep]], axis=0)
+        pairs = np.sort(pairs, axis=0)
+        pairs = np.unique(pairs, axis=1)
+        M = pairs.shape[1]
+        w = np.asarray(jax.random.uniform(kw, (M,)))
+        lat = self.P[pairs[0]] * w[:, None] + self.P[pairs[1]] * \
+            (1.0 - w[:, None])
+        return {"latents": lat.astype(np.float32),
+                "pair_idx": pairs.T.astype(np.int64), "weights": w}
+
+
+def lifted_normals(P: np.ndarray) -> np.ndarray:
+    """Unit normals of the lifted supporting planes [P_i, -1]
+    (scripts/run_aeot_end2end.py:221-226)."""
+    P = np.asarray(P, np.float64)
+    nm = np.concatenate([P, -np.ones((P.shape[0], 1))], axis=1)
+    return nm / np.clip(np.linalg.norm(nm, axis=1, keepdims=True),
+                        1e-12, None)
+
+
+def ot_generate_latents(
+    ot: SemiDiscreteOT,
+    lengths: np.ndarray,
+    num_gen_x: int,
+    bat_size_n: int,
+    thresh: float,
+    key: jax.Array,
+) -> Dict[str, np.ndarray]:
+    """One-shot candidate generation (run_aeot_end2end.py:143-266):
+
+    1. draw num_gen_x source samples in blocks of bat_size_n, take the
+       top-2 OT cells of each,
+    2. keep pairs whose lifted normals subtend an angle < thresh rad,
+    3. canonicalize + dedup the pairs,
+    4. random convex interpolation of both latents and lengths.
+
+    Returns {"latents" [M, Dflat] f32, "lengths" [M] i64}.
+    """
+    lengths = np.asarray(lengths).reshape(-1)
+    if num_gen_x < bat_size_n:
+        raise ValueError(
+            f"num_gen_x must be >= bat_size_n. Got {num_gen_x} "
+            f"< {bat_size_n}")
+    num_bat = num_gen_x // bat_size_n
+    if num_bat * bat_size_n != num_gen_x:
+        print(f"[warn] num_gen_x={num_gen_x} not a multiple of "
+              f"bat_size_n={bat_size_n}; using {num_bat * bat_size_n}")
+
+    sample = _source_sampler(ot.source)
+    top2 = jax.jit(ot.top2_cells)
+    pairs_all = []
+    for bi in range(num_bat):
+        key, sub = jax.random.split(key)
+        x = sample(sub, (bat_size_n, ot.dim))
+        idx, _ = top2(x)
+        pairs_all.append(np.asarray(idx))
+    pairs = np.concatenate(pairs_all, axis=0).T  # [2, num_gen_x]
+
+    # angular filter on lifted normals: theta < thresh <=> cos > cos(thresh)
+    nm = lifted_normals(ot.P)
+    cs = np.clip(np.sum(nm[pairs[0]] * nm[pairs[1]], axis=1), -1.0, 1.0)
+    keep = cs > np.cos(float(thresh))
+    pairs = pairs[:, keep]
+
+    pairs = np.sort(pairs, axis=0)
+    pairs = np.unique(pairs, axis=1)
+    M = pairs.shape[1]
+    print(f"[info] OT produced {M} unique candidates after angle filter "
+          f"(thresh={thresh}).")
+    D = ot.dim
+    if M == 0:
+        return {"latents": np.zeros((0, D), np.float32),
+                "lengths": np.zeros((0,), np.int64)}
+
+    key, kw = jax.random.split(key)
+    w = np.asarray(jax.random.uniform(kw, (M, 1)), np.float64)
+    P64 = np.asarray(ot.P, np.float64)
+    lat = P64[pairs[0]] * w + P64[pairs[1]] * (1.0 - w)
+    w1 = w[:, 0]
+    len_gen = np.round(lengths[pairs[0]].astype(np.float64) * w1
+                       + lengths[pairs[1]].astype(np.float64) * (1 - w1))
+    return {"latents": lat.astype(np.float32),
+            "lengths": len_gen.astype(np.int64)}
+
+
+# ---------------------------------------------------------------------
+# artifact IO (interop with the reference's torch .pt files)
+# ---------------------------------------------------------------------
+def load_latent_bank(path: str) -> Dict[str, np.ndarray]:
+    """Load a latent bank: .npz (ours) or torch .pt (reference format,
+    keys latents/lengths/mean/std — scripts/extract_ae_latents.py:143-154).
+    """
+    if path.endswith((".npz", ".npy")):
+        data = dict(np.load(path, allow_pickle=True))
+        return {k: np.asarray(v) for k, v in data.items()}
+    import torch  # cpu torch is available for interop
+
+    data = torch.load(path, map_location="cpu", weights_only=False)
+    if not isinstance(data, dict):
+        raise RuntimeError("latent bank must be a dict with "
+                           "'latents'/'lengths'")
+    out = {}
+    for k, v in data.items():
+        out[k] = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+    return out
+
+
+def load_potential(path: str, n: Optional[int] = None) -> np.ndarray:
+    if path.endswith((".npz", ".npy")):
+        h = np.load(path)
+        if isinstance(h, np.lib.npyio.NpzFile):
+            h = h["h"]
+    else:
+        import torch
+
+        h = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(h, "numpy"):
+            h = h.numpy()
+    h = np.asarray(h, np.float32).reshape(-1)
+    if n is not None and h.shape[0] != n:
+        raise RuntimeError(f"potential size {h.shape[0]} != bank size {n}")
+    return h
