@@ -18,10 +18,54 @@ segment_collision, ss_reject.
 
 from __future__ import annotations
 
+import ctypes
 import dataclasses
+import os
+import subprocess
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_native_lib = None
+_native_tried = False
+
+
+def _load_native():
+    """Load (building on first use) the C++ filter kernels.
+
+    The quadratic collision/clash checks run on the host while the TPU
+    decodes the next batch; native/fastfilter.cpp makes them ~30x faster
+    than the vectorized numpy forms at L=350. Falls back silently.
+    """
+    global _native_lib, _native_tried
+    if _native_tried:
+        return _native_lib
+    _native_tried = True
+    so = os.path.join(_NATIVE_DIR, "libfastfilter.so")
+    try:
+        if not os.path.exists(so):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        lib = ctypes.CDLL(so)
+        lib.ff_point_collisions.restype = ctypes.c_int64
+        lib.ff_point_collisions.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_float, ctypes.c_int64]
+        lib.ff_segment_clashes.restype = ctypes.c_int64
+        lib.ff_segment_clashes.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_float, ctypes.c_int64, ctypes.c_int64]
+        _native_lib = lib
+    except Exception:
+        _native_lib = None
+    return _native_lib
+
+
+def _c_coords(coords: np.ndarray):
+    c = np.ascontiguousarray(coords, np.float32)
+    return c, c.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 @dataclasses.dataclass
@@ -127,6 +171,11 @@ def self_collision_count(coords: np.ndarray, min_pairwise_dist: float,
     L = coords.shape[0]
     if L <= neighbor_exclude + 1:
         return 0
+    lib = _load_native()
+    if lib is not None:
+        c, ptr = _c_coords(coords)
+        return int(lib.ff_point_collisions(
+            ptr, L, float(min_pairwise_dist), int(neighbor_exclude)))
     d2 = np.sum(
         (coords[:, None, :] - coords[None, :, :]) ** 2, axis=-1)
     idx = np.arange(L)
@@ -146,6 +195,12 @@ def segment_clash_count(coords: np.ndarray, min_seg_dist: float = 1.3,
     """
     if coords.ndim != 2 or coords.shape[1] != 3 or coords.shape[0] < 3:
         return 0
+    lib = _load_native()
+    if lib is not None:
+        c, ptr = _c_coords(coords)
+        return int(lib.ff_segment_clashes(
+            ptr, coords.shape[0], float(min_seg_dist),
+            int(neighbor_exclude_segments), int(num_samples)))
     n_seg = coords.shape[0] - 1
     t = np.linspace(0.0, 1.0, num_samples)[None, :, None]  # [1, S, 1]
     p0 = coords[:-1, None, :]

@@ -54,14 +54,30 @@ def save_checkpoint(ckpt_dir: str, name: str, state, extra: Optional[Dict]
 
 def restore_checkpoint(path: str, template_state, extra_template:
                        Optional[Dict] = None):
-    """Full resume restore. Returns (state, extra)."""
+    """Full resume restore. Returns (state, extra).
+
+    Restored leaves are re-placed on the template's shardings so a resumed
+    state is indistinguishable (placement included) from the live one —
+    orbax otherwise restores single-device arrays that clash with a
+    sharded mesh under jit.
+    """
     ckptr = ocp.StandardCheckpointer()
     target = {"state": template_state}
     if extra_template is not None:
         target["extra"] = extra_template
-    restored = ckptr.restore(os.path.abspath(path),
-                             target=target)
-    return restored["state"], restored.get("extra")
+    restored = ckptr.restore(os.path.abspath(path), target=target)
+
+    from jax.sharding import NamedSharding
+
+    def replace_leaf(restored_leaf, template_leaf):
+        sh = getattr(template_leaf, "sharding", None)
+        if isinstance(sh, NamedSharding):
+            return jax.device_put(restored_leaf, sh)
+        # leave uncommitted (numpy) so jit may place it with the rest
+        return np.asarray(restored_leaf)
+
+    state = jax.tree.map(replace_leaf, restored["state"], template_state)
+    return state, restored.get("extra")
 
 
 def warm_start_params(
