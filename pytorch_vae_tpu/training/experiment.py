@@ -47,11 +47,33 @@ from .state import TrainState
 
 _MODEL_FIELDS = {f.name for f in dataclasses.fields(VQVAE)}
 
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+           "bf16": jnp.bfloat16, "fp32": jnp.float32}
+
 
 def filter_model_params(model_params: Dict) -> Dict:
     """Drop non-constructor keys (the reference swallows them via **kwargs,
-    models/vq_vae.py:408)."""
-    return {k: v for k, v in model_params.items() if k in _MODEL_FIELDS}
+    models/vq_vae.py:408); map dtype strings to jnp dtypes."""
+    out = {k: v for k, v in model_params.items() if k in _MODEL_FIELDS}
+    if isinstance(out.get("dtype"), str):
+        out["dtype"] = _DTYPES[out["dtype"].lower()]
+    return out
+
+
+def apply_rng_impl(exp_params: Dict) -> None:
+    """Select the PRNG implementation BEFORE any key is created.
+
+    Dropout-mask generation with the default threefry costs ~50% of the
+    flagship train step on TPU v5e (measured: 340 -> 171 ms/step with
+    dropout off). 'rbg' keeps identical API semantics at a fraction of the
+    cost and is the default here; set exp_params.rng_impl: threefry2x32
+    for bit-exact legacy streams.
+    """
+    impl = str(exp_params.get("rng_impl", "rbg"))
+    try:
+        jax.config.update("jax_default_prng_impl", impl)
+    except Exception as e:  # unknown impl name: fail loudly
+        raise ValueError(f"bad exp_params.rng_impl={impl!r}: {e}")
 
 
 class VQVAEExperiment:
@@ -76,6 +98,7 @@ class VQVAEExperiment:
         self.weight_decay = float(exp_params.get("weight_decay", 0.0))
         self.manual_seed = int(exp_params.get("manual_seed", 42))
 
+        apply_rng_impl(exp_params)
         self.model = VQVAE(**filter_model_params(model_params))
         self.use_vq = bool(self.model.use_vq)
 

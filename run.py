@@ -43,6 +43,8 @@ def main() -> None:
     parser.add_argument("--limit_train_batches", type=int, default=None)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("--profile", type=str, default="",
+                        help="write a jax.profiler trace to this directory")
     args = parser.parse_args()
 
     if args.cpu:
@@ -117,17 +119,21 @@ def main() -> None:
     print(f"======= Training {model_name} =======")
     print("use_vq =", model_params.get("use_vq", True))
 
+    from pytorch_vae_tpu.utils.profiling import maybe_profile
+
     start = time.time()
-    experiment.fit(
-        max_epochs=args.max_epochs,
-        resume_ckpt=args.resume_ckpt or None,
-        warm_start_ckpt=(None if is_resume else
-                         (args.warm_start_ckpt or None)),
-        init_codebook=(None if is_resume else (args.init_codebook or None)),
-        log_dir=log_dir,
-        ckpt_dir=ckpt_dir,
-        limit_train_batches=args.limit_train_batches,
-    )
+    with maybe_profile(args.profile or None):
+        experiment.fit(
+            max_epochs=args.max_epochs,
+            resume_ckpt=args.resume_ckpt or None,
+            warm_start_ckpt=(None if is_resume else
+                             (args.warm_start_ckpt or None)),
+            init_codebook=(None if is_resume else
+                           (args.init_codebook or None)),
+            log_dir=log_dir,
+            ckpt_dir=ckpt_dir,
+            limit_train_batches=args.limit_train_batches,
+        )
     mins = (time.time() - start) / 60.0
     print(f"[Done] Training completed in {mins:.2f} minutes.")
     print(f"[Checkpoint dir] {os.path.abspath(ckpt_dir)}")
