@@ -181,7 +181,12 @@ class EncoderBlock(nn.Module):
 
 
 class EncoderStack(nn.Module):
-    """N stacked encoder blocks (torch nn.TransformerEncoder, no final LN)."""
+    """N stacked encoder blocks (torch nn.TransformerEncoder, no final LN).
+
+    remat=True rematerializes each block on the backward pass
+    (jax.checkpoint): ~30% more FLOPs for O(layers) less activation HBM,
+    buying larger batches on a 16 GB chip.
+    """
 
     dim: int
     num_heads: int
@@ -189,15 +194,18 @@ class EncoderStack(nn.Module):
     ffn_dim: int = 2048
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         bias = key_padding_bias(mask, jnp.float32)
+        block_cls = (nn.remat(EncoderBlock, static_argnums=(3,))
+                     if self.remat else EncoderBlock)
         for i in range(self.num_layers):
-            x = EncoderBlock(
+            x = block_cls(
                 self.dim, self.num_heads, self.ffn_dim, self.dropout,
                 dtype=self.dtype, name=f"layer_{i}",
-            )(x, bias=bias, deterministic=deterministic)
+            )(x, bias, deterministic)
         return x
 
 
@@ -248,18 +256,20 @@ class DecoderStack(nn.Module):
     ffn_dim: int = 2048
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, memory, tgt_mask=None, memory_mask=None,
                  deterministic: bool = True):
         self_bias = key_padding_bias(tgt_mask, jnp.float32)
         cross_bias = key_padding_bias(memory_mask, jnp.float32)
+        block_cls = (nn.remat(DecoderBlock, static_argnums=(5,))
+                     if self.remat else DecoderBlock)
         for i in range(self.num_layers):
-            x = DecoderBlock(
+            x = block_cls(
                 self.dim, self.num_heads, self.ffn_dim, self.dropout,
                 dtype=self.dtype, name=f"layer_{i}",
-            )(x, memory, self_bias=self_bias, cross_bias=cross_bias,
-              deterministic=deterministic)
+            )(x, memory, self_bias, cross_bias, deterministic)
         return x
 
 

@@ -101,6 +101,7 @@ class VQVAE(nn.Module):
     reinit_interval: int = 500    # models/vq_vae.py:875
     reinit_min_steps: int = 800   # models/vq_vae.py:876
     dtype: Any = jnp.float32
+    remat: bool = False           # rematerialize transformer blocks
     name_tag: str = "VQVAE"
 
     @property
@@ -131,10 +132,10 @@ class VQVAE(nn.Module):
             kernel_init=part(init.xavier_uniform(), (None, "embed")))
         self.encoder = EncoderStack(
             H, self.num_heads, self.num_layers, self.ffn_dim,
-            self.dropout, dtype=dt, name="encoder")
+            self.dropout, dtype=dt, remat=self.remat, name="encoder")
         self.ss_encoder = EncoderStack(
             H, self.num_heads, 2, self.ffn_dim, self.dropout, dtype=dt,
-            name="ss_encoder")
+            remat=self.remat, name="ss_encoder")
         self.enc_ln = nn.LayerNorm(dtype=dt, name="enc_ln")
         self.ln_geo = nn.LayerNorm(dtype=dt, name="ln_geo")
         self.ln_ss = nn.LayerNorm(dtype=dt, name="ln_ss")
@@ -160,7 +161,7 @@ class VQVAE(nn.Module):
         self.mem_ln = nn.LayerNorm(dtype=dt, name="mem_ln")
         self.decoder = DecoderStack(
             H, self.num_heads, self.num_layers, self.ffn_dim,
-            self.dropout, dtype=dt, name="decoder")
+            self.dropout, dtype=dt, remat=self.remat, name="decoder")
         self.query_embed = self.param(
             "query_embed",
             nn.with_logical_partitioning(

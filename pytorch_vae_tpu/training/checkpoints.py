@@ -39,16 +39,39 @@ def _flatten(tree: Any) -> Dict[str, Any]:
     return flat
 
 
+_async_ckptr: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _get_async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
 def save_checkpoint(ckpt_dir: str, name: str, state, extra: Optional[Dict]
-                    = None) -> str:
-    """Save a full train state (+ small metadata) under ckpt_dir/name."""
+                    = None, use_async: bool = False) -> str:
+    """Save a full train state (+ small metadata) under ckpt_dir/name.
+
+    use_async=True returns immediately while orbax serializes in the
+    background (preemption tolerance per SURVEY.md §5 — the reference has
+    no failure recovery at the training layer; async checkpoints + resume
+    from `last` give restart-from-last semantics). A subsequent save waits
+    for the previous one.
+    """
     path = os.path.abspath(os.path.join(ckpt_dir, name))
-    ckptr = ocp.StandardCheckpointer()
     payload = {"state": jax.device_get(state)}
     if extra:
         payload["extra"] = extra
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    if use_async:
+        ckptr = _get_async_checkpointer()
+        ckptr.wait_until_finished()  # serialize with the previous save
+        ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
     return path
 
 

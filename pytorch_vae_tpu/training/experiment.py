@@ -426,11 +426,14 @@ class VQVAEExperiment:
 
             self.state = self.state.replace(
                 epoch=jnp.asarray(epoch + 1, jnp.int32))
+            use_async = bool(self.exp_params.get("async_checkpoint", False))
             if is_main and ((epoch + 1) % save_every == 0
                             or epoch + 1 == max_epochs):
-                save_checkpoint(ckpt_dir, f"epoch{epoch:03d}", self.state)
+                save_checkpoint(ckpt_dir, f"epoch{epoch:03d}", self.state,
+                                use_async=use_async)
             if is_main:
-                save_checkpoint(ckpt_dir, "last", self.state)
+                save_checkpoint(ckpt_dir, "last", self.state,
+                                use_async=use_async)
 
         if is_main:
             mins = (time.time() - t0) / 60.0

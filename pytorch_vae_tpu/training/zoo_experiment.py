@@ -257,6 +257,12 @@ class ZooExperiment:
                 epoch=jnp.asarray(epoch + 1, jnp.int32))
             if is_main:
                 save_checkpoint(ckpt_dir, "last", self.state)
+                if self.exp_params.get("save_samples", True):
+                    try:
+                        self.save_grids(os.path.join(writer.log_dir,
+                                                     "samples"), epoch)
+                    except Exception as e:  # sampling must never kill a run
+                        print(f"[warn] sample grid failed: {e!r}")
         if is_main:
             print(f"[Fit] {max_epochs} epochs in "
                   f"{(time.time() - t0) / 60:.2f} min")
@@ -270,6 +276,43 @@ class ZooExperiment:
         out = self.model.apply(variables, num_samples,
                                jax.random.PRNGKey(seed), method="sample")
         return np.asarray(out)
+
+    def save_grids(self, out_dir: str, epoch: int, n: int = 16) -> None:
+        """Save sample + reconstruction grids per epoch (the upstream zoo
+        saved both every epoch for visual regression)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(out_dir, exist_ok=True)
+
+        def grid(imgs, path, title):
+            k = int(np.ceil(np.sqrt(len(imgs))))
+            fig, axes = plt.subplots(k, k, figsize=(k * 1.6, k * 1.6))
+            for ax, im in zip(np.asarray(axes).ravel(), imgs):
+                ax.imshow(np.clip((im + 1) / 2, 0, 1))
+            for ax in np.asarray(axes).ravel():
+                ax.axis("off")
+            fig.suptitle(title)
+            fig.tight_layout()
+            fig.savefig(path, dpi=90)
+            plt.close(fig)
+
+        try:
+            samples = self.sample(n, seed=epoch)
+            grid(samples, os.path.join(out_dir, f"samples_e{epoch:03d}.png"),
+                 f"{self.model_name} samples (epoch {epoch})")
+        except RuntimeError:
+            pass  # models without an unconditional prior
+        x = next(iter(self.val_loader))[:n]
+        rec = self.reconstruct(x)
+        if rec.ndim == 5:  # IWAE family returns [B, K, H, W, C]
+            rec = rec[:, 0]
+        interleaved = np.stack([x, rec], axis=1).reshape(-1, *x.shape[1:])
+        grid(interleaved[: n * 2],
+             os.path.join(out_dir, f"recons_e{epoch:03d}.png"),
+             f"{self.model_name} input/recon pairs (epoch {epoch})")
 
     def reconstruct(self, x: np.ndarray) -> np.ndarray:
         variables = {"params": self.state.params,
