@@ -42,7 +42,8 @@ class IWAE(BaseVAE):
 
     def encode(self, x, train: bool = False):
         h = self.encoder(x, train=train)
-        return self.fc_mu(h), self.fc_var(h)
+        # log-var clamp: see vanilla_vae.encode
+        return self.fc_mu(h), jnp.clip(self.fc_var(h), -30.0, 20.0)
 
     def decode(self, z, train: bool = False):
         return self.decoder(z, train=train)

@@ -36,7 +36,10 @@ class VanillaVAE(BaseVAE):
 
     def encode(self, x, train: bool = False):
         h = self.encoder(x, train=train)
-        return self.fc_mu(h), self.fc_var(h)
+        # clamp log-variance: exp() overflows to inf under aggressive LRs
+        # (stability addition over the reference zoo; inert in the normal
+        # operating range)
+        return self.fc_mu(h), jnp.clip(self.fc_var(h), -30.0, 20.0)
 
     def decode(self, z, train: bool = False):
         return self.decoder(z, train=train)

@@ -359,6 +359,22 @@ def make_handler(state: ServerState):
                     self._send(200, {"ok": True,
                                      "count": len(body.get("selected", []))})
                     return
+                # stage-specific aliases (reference exposes separate
+                # run-downstream / run-sequence-fold / run-evaluation
+                # endpoints, api/server.py:839-939)
+                m = re.fullmatch(
+                    r"/tasks/([0-9a-f]+)/run-(sequence-fold|evaluation)",
+                    path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    stage = m.group(2).replace("-", "_")
+                    if t.status != "done":
+                        self._err(400, f"task status is {t.status}")
+                        return
+                    t.downstream.setdefault(stage, {})["status"] = "queued"
+                    state.downstream_queue.put((t, stage))
+                    self._send(200, {"ok": True, "stage": stage})
+                    return
                 m = re.fullmatch(r"/tasks/([0-9a-f]+)/run-downstream", path)
                 if m:
                     t = state.get_task(m.group(1))

@@ -175,12 +175,13 @@ class VQVAEExperiment:
         train_list = cfglib.resolve_path(npy_dir, dp["train_list"])
         val_list = cfglib.resolve_path(npy_dir, dp["val_list"])
         msl = int(self.model.max_seq_len)
+        cache = bool(dp.get("cache_dataset", True))
         self.train_dataset = CurveDataset(
             npy_dir, list_path=train_list, train=True, max_seq_len=msl,
-            verbose=self.verbose)
+            cache=cache, verbose=self.verbose)
         self.val_dataset = CurveDataset(
             npy_dir, list_path=val_list, train=False, max_seq_len=msl,
-            verbose=self.verbose)
+            cache=cache, verbose=self.verbose)
 
         buckets = dp.get("buckets")
         if buckets is None:

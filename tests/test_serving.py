@@ -136,13 +136,10 @@ def test_unknown_routes_404(server):
 
 
 def test_downstream_rejects_bad_stage(server):
-    from pytorch_vae_tpu.serving.server import TaskState
-
-    # register a fake done task directly
-    import urllib.parse  # noqa: F401
-
-    # reach into state via module-level server object
-    # (handler closures hold the same state object)
     code, _ = _post(server + "/tasks/deadbeef/run-downstream",
                     {"stage": "nonsense"})
     assert code == 404  # unknown task wins first
+    code, _ = _post(server + "/tasks/deadbeef/run-sequence-fold", {})
+    assert code == 404
+    code, _ = _post(server + "/tasks/deadbeef/run-evaluation", {})
+    assert code == 404
