@@ -99,6 +99,10 @@ class VQVAEExperiment:
         self.manual_seed = int(exp_params.get("manual_seed", 42))
 
         apply_rng_impl(exp_params)
+        # trainer_params.detect_anomaly -> jax debug_nans (the TPU
+        # equivalent of torch autograd anomaly mode; SURVEY.md §5)
+        if (trainer_params or {}).get("detect_anomaly", False):
+            jax.config.update("jax_debug_nans", True)
         self.model = VQVAE(**filter_model_params(model_params))
         self.use_vq = bool(self.model.use_vq)
 
@@ -323,9 +327,17 @@ class VQVAEExperiment:
         return jax.jit(step_fn)
 
     def _put(self, x, mask):
-        sh = batch_sharding(self.mesh)
-        return (jax.device_put(jnp.asarray(x), sh),
-                jax.device_put(jnp.asarray(mask), sh))
+        x = jnp.asarray(x)
+        mask = jnp.asarray(mask)
+        n_data = self.mesh.devices.shape[0]
+        if x.shape[0] % n_data == 0:
+            sh = batch_sharding(self.mesh)
+        else:
+            # partial val tail batches can't split across the data axis
+            from ..parallel.sharding import replicated
+
+            sh = replicated(self.mesh)
+        return jax.device_put(x, sh), jax.device_put(mask, sh)
 
     # ------------------------------------------------------------------
     def fit(

@@ -25,7 +25,7 @@ from flax import struct
 
 from ..data.images import ImageDataset, ImageLoader, SyntheticImages
 from ..parallel.mesh import make_mesh
-from ..parallel.sharding import batch_sharding, shard_params
+from ..parallel.sharding import batch_sharding, replicated, shard_params
 from .checkpoints import restore_checkpoint, save_checkpoint
 from .metrics import MetricWriter
 
@@ -215,6 +215,15 @@ class ZooExperiment:
             "checkpoint_dir", f"./checkpoints/{name}")
         print_every = int(self.exp_params.get("print_every", 100))
         sh = batch_sharding(self.mesh)
+        repl = replicated(self.mesh)
+        n_data = self.mesh.devices.shape[0]
+
+        def put(x):
+            # partial batches (e.g. a short val tail) can't split across
+            # the data axis — replicate them instead
+            x = jnp.asarray(x)
+            return jax.device_put(
+                x, sh if x.shape[0] % n_data == 0 else repl)
 
         t0 = time.time()
         for epoch in range(int(self.state.epoch), max_epochs):
@@ -224,7 +233,7 @@ class ZooExperiment:
             for bi, x in enumerate(self.train_loader):
                 if limit_train_batches and bi >= limit_train_batches:
                     break
-                xb = jax.device_put(jnp.asarray(x), sh)
+                xb = put(x)
                 self.state, ld = self._train_step(self.state, xb,
                                                   self._base_rng)
                 nb += 1
@@ -243,8 +252,7 @@ class ZooExperiment:
             vs: Dict[str, float] = {}
             vn = 0
             for x in self.val_loader:
-                ld = self._eval_step(self.state,
-                                     jax.device_put(jnp.asarray(x), sh))
+                ld = self._eval_step(self.state, put(x))
                 for k, v in ld.items():
                     vs[k] = vs.get(k, 0.0) + float(v)
                 vn += 1

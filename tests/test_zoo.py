@@ -131,3 +131,22 @@ def test_zoo_sample_and_generate():
     recon = model.apply(variables, x, method="generate")
     assert recon.shape == x.shape
     assert float(jnp.max(jnp.abs(samples))) <= 1.0  # tanh head
+
+
+def test_zoo_experiment_fit_smoke(tmp_path):
+    """BASELINE.json config #1: CPU-runnable VanillaVAE end-to-end fit."""
+    from pytorch_vae_tpu.training.zoo_experiment import ZooExperiment
+
+    exp = ZooExperiment(
+        {"name": "VanillaVAE", "in_channels": 3, "latent_dim": 8,
+         "hidden_dims": (8, 16), "image_size": 16},
+        {"LR": 1e-3, "manual_seed": 0, "kld_weight": 0.005,
+         "print_every": 0, "save_samples": False,
+         "checkpoint_dir": str(tmp_path / "ck")},
+        {"img_size": 16, "train_batch_size": 8, "val_batch_size": 8,
+         "synthetic_size": 24},
+        {"max_epochs": 1}, verbose=False)
+    state = exp.fit(max_epochs=1, log_dir=str(tmp_path / "logs"))
+    assert int(state.step) == 3  # 24 // 8 batches
+    samples = exp.sample(2)
+    assert samples.shape == (2, 16, 16, 3)
