@@ -166,13 +166,13 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias=None, deterministic: bool = True):
-        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
         h = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout, self.dtype, name="attn"
         )(h, h, h, bias=bias, deterministic=deterministic)
         h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
         h = FeedForward(self.dim, self.ffn_dim, self.dropout,
                         self.activation, self.dtype, name="ffn")(
             h, deterministic=deterministic)
@@ -221,21 +221,21 @@ class DecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, memory, self_bias=None, cross_bias=None,
                  deterministic: bool = True):
-        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
         h = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout, self.dtype,
             name="self_attn",
         )(h, h, h, bias=self_bias, deterministic=deterministic)
         x = x + nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
 
-        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
         h = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout, self.dtype,
             name="cross_attn",
         )(h, memory, memory, bias=cross_bias, deterministic=deterministic)
         x = x + nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
 
-        h = nn.LayerNorm(dtype=self.dtype, name="ln3")(x)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln3")(x)
         h = FeedForward(self.dim, self.ffn_dim, self.dropout,
                         nn.relu, self.dtype, name="ffn")(
             h, deterministic=deterministic)
@@ -287,14 +287,14 @@ class TokenizerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, q, kv, bias=None, deterministic: bool = True):
-        qn = nn.LayerNorm(dtype=self.dtype, name="ln_q")(q)
-        kvn = nn.LayerNorm(dtype=self.dtype, name="ln_kv")(kv)
+        qn = nn.LayerNorm(dtype=jnp.float32, name="ln_q")(q)
+        kvn = nn.LayerNorm(dtype=jnp.float32, name="ln_kv")(kv)
         out = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout, self.dtype, name="attn"
         )(qn, kvn, kvn, bias=bias, deterministic=deterministic)
         q = q + nn.Dropout(rate=self.dropout)(out,
                                               deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_o")(q)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_o")(q)
         h = FeedForward(self.dim, 4 * self.dim, dropout=0.0,
                         activation=nn.gelu, dtype=self.dtype, name="ffn")(
             h, deterministic=deterministic)

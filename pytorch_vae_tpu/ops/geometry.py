@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .masking import unit
+from .masking import safe_norm, unit
 
 EPS = 1e-8
 
@@ -56,8 +56,8 @@ def random_rotation(key: jax.Array, batch: int) -> jnp.ndarray:
 
 
 def bond_lengths(x: jnp.ndarray) -> jnp.ndarray:
-    """Consecutive point distances: [B, L, 3] -> [B, L-1]."""
-    return jnp.linalg.norm(x[:, 1:, :] - x[:, :-1, :], axis=-1)
+    """Consecutive point distances: [B, L, 3] -> [B, L-1] (grad-safe)."""
+    return safe_norm(x[:, 1:, :] - x[:, :-1, :])
 
 
 def bond_angle_cos(x: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
@@ -68,8 +68,8 @@ def bond_angle_cos(x: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
     """
     v1 = x[:, 1:-1, :] - x[:, :-2, :]
     v2 = x[:, 2:, :] - x[:, 1:-1, :]
-    v1n = v1 / (jnp.linalg.norm(v1, axis=-1, keepdims=True) + eps)
-    v2n = v2 / (jnp.linalg.norm(v2, axis=-1, keepdims=True) + eps)
+    v1n = v1 / (safe_norm(v1, keepdims=True) + eps)
+    v2n = v2 / (safe_norm(v2, keepdims=True) + eps)
     return jnp.sum(v1n * v2n, axis=-1)
 
 

@@ -30,7 +30,7 @@ import numpy as np
 
 from . import geometry
 from .kabsch import apply_rt, kabsch_rt
-from .masking import masked_mean, mse_per_sample, pair_mask, unit
+from .masking import masked_mean, mse_per_sample, pair_mask, safe_norm, unit
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,8 +97,8 @@ def pairwise_pdm_loss(
         return jnp.asarray(0.0, a_xyz.dtype)
     terms = []
     for d in range(1, window):
-        da = jnp.linalg.norm(a_xyz[:, :-d, :] - a_xyz[:, d:, :], axis=-1)
-        db = jnp.linalg.norm(b_xyz[:, :-d, :] - b_xyz[:, d:, :], axis=-1)
+        da = safe_norm(a_xyz[:, :-d, :] - a_xyz[:, d:, :])
+        db = safe_norm(b_xyz[:, :-d, :] - b_xyz[:, d:, :])
         m = (mask[:, :-d] & mask[:, d:]) if mask is not None else None
         terms.append(masked_mean((da - db) ** 2, m))
     return jnp.mean(jnp.stack(terms))
@@ -210,8 +210,8 @@ def long_range_pdm_loss(
     iidx = np.asarray(ii, dtype=np.int32)
     jidx = np.asarray(jj, dtype=np.int32)
 
-    da = jnp.linalg.norm(a_xyz[:, jidx, :] - a_xyz[:, iidx, :], axis=-1)
-    db = jnp.linalg.norm(b_xyz[:, jidx, :] - b_xyz[:, iidx, :], axis=-1)
+    da = safe_norm(a_xyz[:, jidx, :] - a_xyz[:, iidx, :])
+    db = safe_norm(b_xyz[:, jidx, :] - b_xyz[:, iidx, :])
     sq = (da - db) ** 2  # [B, P]
     if mask is not None:
         m = (mask[:, jidx] & mask[:, iidx]).astype(sq.dtype)

@@ -80,6 +80,19 @@ def pair_mask(mask: Optional[jnp.ndarray], k: int) -> Optional[jnp.ndarray]:
     return out
 
 
+def safe_norm(v: jnp.ndarray, axis: int = -1,
+              keepdims: bool = False) -> jnp.ndarray:
+    """L2 norm with a finite gradient at 0.
+
+    jnp.linalg.norm's gradient at exactly-coincident points is NaN (0/0);
+    torch returns a 0 subgradient there, so the reference never hit this.
+    With bf16 activations upstream, adjacent decoded points CAN be
+    bit-equal, so every differentiable norm in the loss uses this form
+    (the 1e-24 shift changes values by < 1e-12).
+    """
+    return jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims) + 1e-24)
+
+
 def unit(v: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
     """Normalize along the last axis (reference: _unit, models/vq_vae.py:328)."""
-    return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + eps)
+    return v / (safe_norm(v, keepdims=True) + eps)
