@@ -8,7 +8,7 @@ over the forward outputs, so it can be jit-fused into the train step.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 from flax import linen as nn
 

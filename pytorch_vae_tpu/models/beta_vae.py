@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Sequence
 
-import jax
 import jax.numpy as jnp
 
 from ..ops import zoo_losses as zl

@@ -27,7 +27,7 @@ Behavioral quirks intentionally preserved (SURVEY.md §2.3):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,6 @@ from . import quantizer as vq
 from .layers import (
     DecoderStack,
     EncoderStack,
-    FeedForward,
     LatentTokenizer,
     sinusoidal_pos_enc,
 )

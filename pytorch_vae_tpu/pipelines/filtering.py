@@ -22,7 +22,7 @@ import ctypes
 import dataclasses
 import os
 import subprocess
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

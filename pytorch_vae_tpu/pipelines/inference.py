@@ -18,7 +18,7 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from .. import config as cfglib
-from ..models.quantizer import VQConfig, VQState, quantize_ema
+from ..models.quantizer import VQState, quantize_ema
 from ..models.vq_vae import VQVAE
 from ..training.experiment import filter_model_params
 
