@@ -36,6 +36,7 @@ from flax import linen as nn
 from ..ops import geometry
 from . import quantizer as vq
 from .layers import (
+    CheapDropout,
     DecoderStack,
     EncoderStack,
     LatentTokenizer,
@@ -168,7 +169,7 @@ class VQVAE(nn.Module):
             (self.max_seq_len, H), jnp.float32)
         self.head_xyz = nn.Dense(3, dtype=dt, name="head_xyz")
         self.head_ss = nn.Dense(3, dtype=dt, name="head_ss")
-        self.inp_dropout = nn.Dropout(rate=0.1)
+        self.inp_dropout = CheapDropout(rate=0.1)
         self.pos_enc = sinusoidal_pos_enc(self.max_seq_len, H)
 
     # ------------------------------------------------------------------
