@@ -80,19 +80,30 @@ class CheapDropout(nn.Module):
 
 
 class MultiHeadAttention(nn.Module):
-    """Batched multi-head attention with additive bias masking.
+    """Batched multi-head attention with key-padding masking.
 
     Equivalent to torch.nn.MultiheadAttention(batch_first=True) with
-    key_padding_mask, including dropout on the attention probabilities.
+    key_padding_mask (inverted: True = valid here), including dropout on
+    the attention probabilities.
+
+    Two compute paths share the same parameters:
+      - fused Pallas kernel (ops/flash_attention.py): softmax + in-kernel
+        prob-dropout + PV in VMEM, custom VJP — the TPU default,
+      - explicit einsums with a materialized [B, H, Lq, Lk] probability
+        tensor + CheapDropout — the CPU/fallback path.
+    use_flash=None defers to ops.flash_attention.flash_enabled().
+    The two paths draw different dropout masks from the same "dropout"
+    RNG stream (both unbiased); outputs are identical when dropout is off.
     """
 
     dim: int
     num_heads: int
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    use_flash: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, q, k, v, bias=None, deterministic: bool = True):
+    def __call__(self, q, k, v, key_mask=None, deterministic: bool = True):
         head_dim = self.dim // self.num_heads
         assert head_dim * self.num_heads == self.dim
 
@@ -114,16 +125,32 @@ class MultiHeadAttention(nn.Module):
         vh = proj("v_proj")(v)
 
         scale = 1.0 / math.sqrt(head_dim)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
-        if bias is not None:
-            scores = scores + bias
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        probs = probs.astype(self.dtype)
-        if self.dropout > 0.0:
-            probs = CheapDropout(rate=self.dropout)(
-                probs, deterministic=deterministic
+        use_flash = self.use_flash
+        if use_flash is None:
+            from pytorch_vae_tpu.ops.flash_attention import flash_enabled
+            use_flash = flash_enabled()
+
+        if use_flash:
+            from pytorch_vae_tpu.ops.flash_attention import flash_attention
+            drop = 0.0 if deterministic else float(self.dropout)
+            out = flash_attention(
+                qh, kh, vh, key_mask=key_mask, scale=scale,
+                dropout_rate=drop,
+                dropout_key=(self.make_rng("dropout") if drop > 0.0
+                             else None),
             )
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
+        else:
+            bias = key_padding_bias(key_mask, jnp.float32)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+            if bias is not None:
+                scores = scores + bias
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            probs = probs.astype(self.dtype)
+            if self.dropout > 0.0:
+                probs = CheapDropout(rate=self.dropout)(
+                    probs, deterministic=deterministic
+                )
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
         out = nn.DenseGeneral(
             features=self.dim,
             axis=(-2, -1),
@@ -190,11 +217,11 @@ class EncoderBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, bias=None, deterministic: bool = True):
+    def __call__(self, x, key_mask=None, deterministic: bool = True):
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
         h = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout, self.dtype, name="attn"
-        )(h, h, h, bias=bias, deterministic=deterministic)
+        )(h, h, h, key_mask=key_mask, deterministic=deterministic)
         h = CheapDropout(rate=self.dropout)(h, deterministic=deterministic)
         x = x + h
         h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
@@ -223,14 +250,13 @@ class EncoderStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
-        bias = key_padding_bias(mask, jnp.float32)
         block_cls = (nn.remat(EncoderBlock, static_argnums=(3,))
                      if self.remat else EncoderBlock)
         for i in range(self.num_layers):
             x = block_cls(
                 self.dim, self.num_heads, self.ffn_dim, self.dropout,
                 dtype=self.dtype, name=f"layer_{i}",
-            )(x, bias, deterministic)
+            )(x, mask, deterministic)
         return x
 
 
@@ -244,13 +270,13 @@ class DecoderBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, memory, self_bias=None, cross_bias=None,
+    def __call__(self, x, memory, tgt_mask=None, memory_mask=None,
                  deterministic: bool = True):
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
         h = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout, self.dtype,
             name="self_attn",
-        )(h, h, h, bias=self_bias, deterministic=deterministic)
+        )(h, h, h, key_mask=tgt_mask, deterministic=deterministic)
         x = x + CheapDropout(rate=self.dropout)(h,
                                                 deterministic=deterministic)
 
@@ -258,7 +284,8 @@ class DecoderBlock(nn.Module):
         h = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout, self.dtype,
             name="cross_attn",
-        )(h, memory, memory, bias=cross_bias, deterministic=deterministic)
+        )(h, memory, memory, key_mask=memory_mask,
+          deterministic=deterministic)
         x = x + CheapDropout(rate=self.dropout)(h,
                                                 deterministic=deterministic)
 
@@ -288,15 +315,13 @@ class DecoderStack(nn.Module):
     @nn.compact
     def __call__(self, x, memory, tgt_mask=None, memory_mask=None,
                  deterministic: bool = True):
-        self_bias = key_padding_bias(tgt_mask, jnp.float32)
-        cross_bias = key_padding_bias(memory_mask, jnp.float32)
         block_cls = (nn.remat(DecoderBlock, static_argnums=(5,))
                      if self.remat else DecoderBlock)
         for i in range(self.num_layers):
             x = block_cls(
                 self.dim, self.num_heads, self.ffn_dim, self.dropout,
                 dtype=self.dtype, name=f"layer_{i}",
-            )(x, memory, self_bias, cross_bias, deterministic)
+            )(x, memory, tgt_mask, memory_mask, deterministic)
         return x
 
 
@@ -313,12 +338,12 @@ class TokenizerBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, kv, bias=None, deterministic: bool = True):
+    def __call__(self, q, kv, key_mask=None, deterministic: bool = True):
         qn = nn.LayerNorm(dtype=jnp.float32, name="ln_q")(q)
         kvn = nn.LayerNorm(dtype=jnp.float32, name="ln_kv")(kv)
         out = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout, self.dtype, name="attn"
-        )(qn, kvn, kvn, bias=bias, deterministic=deterministic)
+        )(qn, kvn, kvn, key_mask=key_mask, deterministic=deterministic)
         q = q + CheapDropout(rate=self.dropout)(out,
                                                 deterministic=deterministic)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln_o")(q)
@@ -354,10 +379,9 @@ class LatentTokenizer(nn.Module):
         q = jnp.broadcast_to(
             queries[None].astype(self.dtype), (B, self.n_tokens, self.dim)
         )
-        bias = key_padding_bias(mask, jnp.float32)
         for i in range(self.num_layers):
             q = TokenizerBlock(
                 self.dim, self.num_heads, self.dropout, self.dtype,
                 name=f"block_{i}",
-            )(q, x, bias=bias, deterministic=deterministic)
+            )(q, x, key_mask=mask, deterministic=deterministic)
         return q

@@ -1,0 +1,313 @@
+"""Fused attention (softmax + prob-dropout + PV) as a Pallas TPU kernel.
+
+Replaces the einsum attention path of models/layers.py for the shapes this
+framework actually runs (L <= ~512 curve positions, N <= 64 latent tokens;
+reference: torch nn.MultiheadAttention inside models/vq_vae.py:455-533).
+The XLA einsum path materializes the [B, H, Lq, Lk] probability tensor plus
+a same-shaped dropout mask in HBM every layer, fwd and bwd — at the
+flagship config (B=128, H=8, L=350) that is ~600 MB of f32 traffic per
+materialization and was measured to dominate the 265 ms train step
+(attention fwd+bwd ~53 ms + a large share of the ~120 ms elementwise
+"fusion" bucket; see CLAUDE.md profile notes). This kernel keeps the score
+matrix in VMEM for one (batch, head) at a time, applies the key-padding
+bias, softmax, and dropout in-kernel, and writes only the [Lq, Dh] output.
+
+Design choices (TPU-first, intentionally NOT a port of any CUDA kernel):
+
+- Whole-row kernel, not a streaming flash loop: Lq, Lk <= ~1024 here, so
+  the full [Lq_pad, Lk_pad] f32 score block fits VMEM comfortably
+  (384x384 = 576 KB). No running-max bookkeeping, no saved logsumexp —
+  the backward simply recomputes the softmax (FLOPs are cheap, HBM is
+  not). Grid is (B, H); each instance does 2 MXU matmuls fwd, 5 bwd.
+- In-kernel dropout with a *stateless counter-based hash RNG* (murmur3
+  fmix32 double-round over a per-element counter mixed with the seed and
+  the (b, h) grid cell). The same formula regenerates the identical mask
+  in the backward kernel — nothing but the int32 seed pair is carried
+  between fwd and bwd. Plain uint32 vector ops, so the kernel behaves
+  identically under the Pallas interpreter on CPU (pltpu.prng_random_bits
+  returns zeros there, which would silently drop everything).
+- Dropout rate is quantized to 1/2^24 (cf. CheapDropout's 1/256 in
+  models/layers.py); the survivor scale uses the actual quantized rate so
+  the estimator stays unbiased.
+- No host-side padding: block shapes equal the array dims (allowed by
+  Mosaic for any size), so HBM traffic is exactly the tensor bytes and
+  the compiler handles lane/sublane padding internally. Masked-out rows
+  never NaN: the -1e30 additive bias degrades them to a uniform
+  distribution, matching the einsum path's behavior.
+
+Gradient math with dropout (M = keep mask, s = 1/(1-p), P = softmax(S),
+Pt = M*P*s, O = Pt V):
+    dV = Pt^T dO
+    G  = M * (dO V^T) * s
+    D_i = sum_k Pt_ik (dO V^T)_ik = rowsum(P * G)
+    dS = P * (G - D)            (softmax Jacobian)
+    dQ = dS K * scale,  dK = dS^T Q * scale
+which reduces to standard attention backward when p = 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_BIG = -1e30
+_RATE_BITS = 24  # dropout rate quantized to 1/2^24
+
+# Tri-state override for the default dispatch in models/layers.py:
+# None = auto (flash on TPU, einsum elsewhere); True/False = force.
+# Tests force True to exercise the kernel under the interpreter on CPU.
+_FORCE_FLASH: Optional[bool] = None
+
+
+def set_flash_override(value: Optional[bool]) -> None:
+    global _FORCE_FLASH
+    _FORCE_FLASH = value
+
+
+def flash_enabled() -> bool:
+    if _FORCE_FLASH is not None:
+        return _FORCE_FLASH
+    return jax.default_backend() == "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 32-bit finalizer: full-avalanche mix of a uint32 lattice."""
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
+def _keep_mask(shape: Tuple[int, int], s0, s1, cell: jnp.ndarray,
+               thresh24: int) -> jnp.ndarray:
+    """Deterministic per-element keep mask for one (b, h) grid cell."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    ctr = rows * jnp.uint32(shape[1]) + cols
+    h = _fmix32(ctr ^ s0.astype(jnp.uint32))
+    h = _fmix32(h ^ s1.astype(jnp.uint32) ^ cell.astype(jnp.uint32))
+    return (h >> jnp.uint32(32 - _RATE_BITS)) >= jnp.uint32(thresh24)
+
+
+def _softmax_rows(s: jnp.ndarray) -> jnp.ndarray:
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref,
+                *, scale: float, thresh24: int, num_heads: int):
+    q = q_ref[0, 0]                       # [LQP, DP]
+    k = k_ref[0, 0]                       # [LKP, DP]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[0, 0][None, :]   # [LQP, LKP] f32
+    p = _softmax_rows(s)
+    if thresh24 > 0:
+        cell = pl.program_id(0) * num_heads + pl.program_id(1)
+        keep = _keep_mask(p.shape, seed_ref[0], seed_ref[1],
+                          jnp.uint32(cell), thresh24)
+        inv = 1.0 / (1.0 - thresh24 / float(1 << _RATE_BITS))
+        p = jnp.where(keep, p * inv, 0.0)
+    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0, 0],
+                preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
+                dq_ref, dk_ref, dv_ref,
+                *, scale: float, thresh24: int, num_heads: int):
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[0, 0][None, :]
+    p = _softmax_rows(s)                                    # [LQP, LKP]
+    graw = jax.lax.dot_general(                             # dO V^T
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if thresh24 > 0:
+        cell = pl.program_id(0) * num_heads + pl.program_id(1)
+        keep = _keep_mask(p.shape, seed_ref[0], seed_ref[1],
+                          jnp.uint32(cell), thresh24)
+        inv = 1.0 / (1.0 - thresh24 / float(1 << _RATE_BITS))
+        pt = jnp.where(keep, p * inv, 0.0)
+        gdrop = jnp.where(keep, graw * inv, 0.0)
+    else:
+        pt = p
+        gdrop = graw
+    d = jnp.sum(pt * graw, axis=-1, keepdims=True)          # rowsum(P*G)
+    ds = (p * (gdrop - d) * scale).astype(q.dtype)
+    dv_ref[0, 0] = jnp.dot(
+        pt.astype(g.dtype).T, g, preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dq_ref[0, 0] = jnp.dot(
+        ds, k, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[0, 0] = jnp.dot(
+        ds.T, q, preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+def _io_specs(B, H, LQP, LKP, DP, DPV):
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # bias is [B, 1, LKP]; the singleton axis keeps the trailing two block
+    # dims equal to the array dims (Mosaic tiling requirement)
+    bias_spec = pl.BlockSpec((1, 1, LKP), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, 1, LQP, DP), lambda b, h: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, 1, LKP, DP), lambda b, h: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, 1, LKP, DPV), lambda b, h: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, 1, LQP, DPV), lambda b, h: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_core(q, k, v, bias, seed, scale, thresh24, interpret):
+    """q [B,H,LQP,DP], k/v [B,H,LKP,DP], bias [B,LKP] f32, seed int32[2]."""
+    return _flash_core_fwd(q, k, v, bias, seed, scale, thresh24,
+                           interpret)[0]
+
+
+def _flash_core_fwd(q, k, v, bias, seed, scale, thresh24, interpret):
+    B, H, LQP, DP = q.shape
+    LKP = k.shape[2]
+    DPV = v.shape[3]
+    seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec = _io_specs(
+        B, H, LQP, LKP, DP, DPV)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, thresh24=thresh24,
+                          num_heads=H),
+        grid=(B, H),
+        in_specs=[seed_spec, bias_spec, q_spec, k_spec, v_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, LQP, DPV), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * LQP * LKP * (2 * DP),
+            bytes_accessed=q.size * q.dtype.itemsize * 2
+            + 2 * k.size * k.dtype.itemsize + bias.size * 4,
+            transcendentals=B * H * LQP * LKP,
+        ),
+        interpret=interpret,
+    )(seed, bias, q, k, v)
+    return out, (q, k, v, bias, seed)
+
+
+def _flash_core_bwd(scale, thresh24, interpret, res, g):
+    q, k, v, bias, seed = res
+    B, H, LQP, DP = q.shape
+    LKP = k.shape[2]
+    DPV = v.shape[3]
+    seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec = _io_specs(
+        B, H, LQP, LKP, DP, DPV)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, thresh24=thresh24,
+                          num_heads=H),
+        grid=(B, H),
+        in_specs=[seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec],
+        out_specs=[q_spec, k_spec, v_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * B * H * LQP * LKP * (2 * DP),
+            bytes_accessed=2 * q.size * q.dtype.itemsize
+            + 4 * k.size * k.dtype.itemsize + bias.size * 4,
+            transcendentals=B * H * LQP * LKP,
+        ),
+        interpret=interpret,
+    )(seed, bias, q, k, v, g)
+    return (dq, dk, dv, jnp.zeros_like(bias),
+            np.zeros(seed.shape, dtype=jax.dtypes.float0))
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    *,
+    scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused multi-head attention.
+
+    Args:
+      q: [B, Lq, H, Dh] queries (model layout, as produced by the qkv
+        DenseGeneral projections in models/layers.py).
+      k, v: [B, Lk, H, Dh] keys/values.
+      key_mask: [B, Lk] bool, True = valid key (torch key_padding_mask
+        semantics, inverted). None = all valid.
+      scale: score scale; default 1/sqrt(Dh).
+      dropout_rate: probability-dropout rate on the attention matrix.
+      dropout_key: PRNG key; required when dropout_rate > 0.
+      interpret: run the kernel in the Pallas interpreter (CPU tests);
+        default: True unless running on TPU.
+
+    Returns: [B, Lq, H, Dh] in q.dtype.
+    """
+    B, LQ, H, DH = q.shape
+    LK = k.shape[1]
+    DV = v.shape[3]
+    if scale is None:
+        scale = 1.0 / (DH ** 0.5)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    thresh24 = 0
+    seed = jnp.zeros((2,), jnp.int32)
+    if dropout_rate > 0.0:
+        if dropout_key is None:
+            raise ValueError("dropout_rate > 0 requires dropout_key")
+        thresh24 = min((1 << _RATE_BITS) - 1,
+                       int(round(dropout_rate * (1 << _RATE_BITS))))
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.key_data(dropout_key).reshape(-1)[:2], jnp.int32)
+
+    # No length/depth padding: every block spans the full (L, Dh) extent of
+    # its (b, h) cell, and Mosaic accepts any block dim equal to the array
+    # dim (internal lane/sublane padding is handled by the compiler). This
+    # keeps HBM traffic at exactly the tensor sizes — an earlier version
+    # padded Dh 64->128 and L 350->384 and spent ~26 ms/step on pad/slice
+    # copies plus 2x matmul FLOPs at the flagship config.
+    def to_bhld(x):
+        return jnp.transpose(x, (0, 2, 1, 3))  # [B, H, L, Dh]
+
+    if key_mask is None:
+        valid = jnp.ones((B, LK), bool)
+    else:
+        valid = key_mask
+    bias = jnp.where(valid, 0.0, _NEG_BIG).astype(jnp.float32)[:, None, :]
+
+    out = _flash_core(to_bhld(q), to_bhld(k), to_bhld(v), bias, seed,
+                      float(scale), thresh24, bool(interpret))
+    return jnp.transpose(out, (0, 2, 1, 3))
