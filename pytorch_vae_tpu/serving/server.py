@@ -12,11 +12,19 @@ Endpoints (api/server.py:618-1040):
   GET  /health
   POST /generate                      -> {task_id}
   GET  /tasks/{id}                    -> status + parsed summary.json
-  GET  /tasks/{id}/curves[?which=]    -> filtered/rejected curve listing
-  GET  /tasks/{id}/curves/{idx}       -> xyz + ss_idx + manifest metrics
+  GET  /tasks/{id}/curves[?which=&limit=]  filtered/rejected curve listing
+  GET  /tasks/{id}/curves/{idx|name}  -> xyz + ss_idx + manifest metrics
+  GET  /tasks/{id}/rejected-curves[/{name}]  explicit rejected routes
+                                         (api/server.py:721-752)
   GET/POST /tasks/{id}/downstream-selection
   POST /tasks/{id}/run-downstream     -> {stage: backbone|sequence_fold|
                                           evaluation}
+  GET  /tasks/{id}/downstream         -> stage statuses + parsed stage
+                                         summaries (api/server.py:814-836)
+  GET  /tasks/{id}/downstream-pdb?path=       (api/server.py:942-958)
+  GET  /tasks/{id}/downstream-pdb-text?path=  (api/server.py:960-972)
+  GET  /tasks/{id}/downstream-compare?ref=&mobile=          (:974-1011)
+  GET  /tasks/{id}/downstream-compare-pdb-text?ref=&mobile= (:1013-1040)
   GET  /tasks/{id}/pdb/{name}         -> PDB text (optionally aligned to
                                          ?align_to=<other name>)
   GET  /                              -> web/index.html (no-cache)
@@ -138,10 +146,13 @@ class ServerState:
             t.status = "running"
             try:
                 with self.device_lock:
+                    # extra_env overrides; a None value REMOVES the var
+                    # (tests drop the TPU-relay dial for CPU subprocesses)
+                    env = {**os.environ, **self.extra_env}
+                    env = {k: v for k, v in env.items() if v is not None}
                     proc = subprocess.run(
                         self._build_cmd(t), capture_output=True, text=True,
-                        cwd=str(REPO_ROOT),
-                        env={**os.environ, **self.extra_env})
+                        cwd=str(REPO_ROOT), env=env)
                 t.stdout_tail = (proc.stdout or "")[-4000:]
                 if proc.returncode != 0:
                     t.status = "failed"
@@ -164,6 +175,8 @@ class ServerState:
             t, stage = self.downstream_queue.get()
             rec = t.downstream.setdefault(stage, {})
             rec["status"] = "running"
+            rec["started_at"] = time.time()
+            rec["ended_at"] = None
             try:
                 cmd = [
                     self.python,
@@ -184,6 +197,8 @@ class ServerState:
             except Exception as e:
                 rec["status"] = "failed"
                 rec["error"] = repr(e)
+            finally:
+                rec["ended_at"] = time.time()
 
     # -- API operations -----------------------------------------------
     def submit_generate(self, params: Dict) -> TaskState:
@@ -201,7 +216,8 @@ class ServerState:
             raise KeyError(task_id)
         return self.tasks[task_id]
 
-    def list_curves(self, t: TaskState, which: str = "filtered") -> Dict:
+    def list_curves(self, t: TaskState, which: str = "filtered",
+                    limit: Optional[int] = None) -> Dict:
         if not t.run_dir:
             return {"curves": []}
         run = Path(t.run_dir)
@@ -212,21 +228,143 @@ class ServerState:
                 line = line.strip()
                 if line:
                     out.append(json.loads(line))
-        return {"curves": out, "count": len(out)}
+        if limit is not None:
+            # reference clamps limit to [1, 48] filtered / [1, 96] rejected
+            # (api/server.py:695,730)
+            cap = 96 if which == "rejected" else 48
+            out = out[: max(1, min(int(limit), cap))]
+        return {"curves": out, "count": len(out), "run_dir": t.run_dir,
+                "task_id": t.task_id}
 
-    def curve_detail(self, t: TaskState, idx: int,
-                     which: str = "filtered") -> Dict:
+    def _curve_record(self, t: TaskState, key: str,
+                      which: str) -> Dict:
         listing = self.list_curves(t, which)["curves"]
-        rec = next((r for r in listing if int(r.get("i", -1)) == idx), None)
+        if key.isdigit():
+            rec = next((r for r in listing
+                        if int(r.get("i", -1)) == int(key)), None)
+        else:  # by file name (reference addresses curves by name,
+            # api/server.py:706-718)
+            rec = next(
+                (r for r in listing
+                 if Path(r.get("recon_path", "")).name == key), None)
         if rec is None:
-            raise KeyError(f"curve {idx}")
+            raise KeyError(f"curve {key}")
+        return rec
+
+    def curve_detail(self, t: TaskState, key: str,
+                     which: str = "filtered") -> Dict:
+        rec = self._curve_record(t, key, which)
         arr = pdb_utils.load_curve6(rec["recon_path"])
         xyz = arr[:, :3]
         ss_idx = (np.argmax(arr[:, 3:6], axis=-1)
                   if arr.shape[1] >= 6 else
                   pdb_utils.assign_ss_from_xyz(xyz))
-        return {"i": idx, "xyz": xyz.tolist(),
+        return {"i": rec.get("i"), "name": Path(rec["recon_path"]).name,
+                "xyz": xyz.tolist(),
                 "ss_idx": ss_idx.astype(int).tolist(), "metrics": rec}
+
+    # -- downstream inspection (api/server.py:814-836, 942-1040) -------
+    def downstream_dir(self, t: TaskState) -> Path:
+        if not t.run_dir:
+            raise KeyError("task has no run_dir yet")
+        return Path(t.run_dir) / "downstream"
+
+    def downstream_status(self, t: TaskState) -> Dict:
+        """Per-stage statuses + parsed <stage>_summary.json files."""
+        stages = {}
+        out_dir = Path(t.run_dir) / "downstream" if t.run_dir else None
+        for stage, rec in t.downstream.items():
+            entry = dict(rec)
+            if out_dir is not None:
+                sp = out_dir / f"{stage}_summary.json"
+                if sp.exists():
+                    try:
+                        entry["summary"] = json.loads(sp.read_text())
+                    except Exception:
+                        entry["summary"] = None
+            stages[stage] = entry
+        last = None
+        for stage in ("evaluation", "sequence_fold", "backbone"):
+            if stage in t.downstream:
+                last = stage
+                break
+        last_rec = t.downstream.get(last, {}) if last else {}
+        return {
+            "task_id": t.task_id,
+            "action": last,
+            "status": last_rec.get("status"),
+            "started_at": last_rec.get("started_at"),
+            "ended_at": last_rec.get("ended_at"),
+            "output_dir": str(out_dir) if out_dir else None,
+            "error": last_rec.get("error"),
+            "stages": stages,
+        }
+
+    def _downstream_pdb_path(self, t: TaskState, rel: str) -> Path:
+        """Resolve + validate a pdb path under the downstream dir
+        (the reference rejects anything outside it, api/server.py:947-950).
+        """
+        base = self.downstream_dir(t).resolve()
+        p = Path(rel)
+        if not p.is_absolute():
+            p = base / p
+        p = p.resolve()
+        if (p.suffix.lower() != ".pdb" or not p.is_file()
+                or base not in p.parents):
+            raise KeyError(f"downstream pdb not found: {rel}")
+        return p
+
+    def downstream_pdb(self, t: TaskState, rel: str) -> Dict:
+        p = self._downstream_pdb_path(t, rel)
+        trace = pdb_utils.parse_pdb_ca_trace(p.read_text(errors="ignore"))
+        xyz = trace["xyz"]
+        return {"path": str(p), "name": p.name, "length": int(len(xyz)),
+                "xyz": xyz.tolist(),
+                "ss_idx": pdb_utils.assign_ss_from_xyz(xyz)
+                .astype(int).tolist()}
+
+    def downstream_pdb_text(self, t: TaskState, rel: str) -> str:
+        return self._downstream_pdb_path(t, rel).read_text(errors="ignore")
+
+    def downstream_compare(self, t: TaskState, ref: str,
+                           mobile: str) -> Dict:
+        rp = self._downstream_pdb_path(t, ref)
+        mp = self._downstream_pdb_path(t, mobile)
+        rxyz = pdb_utils.parse_pdb_ca_trace(
+            rp.read_text(errors="ignore"))["xyz"]
+        mxyz = pdb_utils.parse_pdb_ca_trace(
+            mp.read_text(errors="ignore"))["xyz"]
+        R, tr, rmsd = pdb_utils.kabsch_align_np(mxyz, rxyz)
+        n = min(len(rxyz), len(mxyz))
+        maligned = np.asarray(mxyz[:n], np.float64) @ R + tr
+        return {
+            "ref_path": str(rp), "mobile_path": str(mp),
+            "ref_name": rp.name, "mobile_name": mp.name,
+            "length": int(n), "rmsd": float(rmsd),
+            "ref_xyz": np.asarray(rxyz[:n], float).tolist(),
+            "mobile_xyz": maligned.tolist(),
+            "ref_ss_idx": pdb_utils.assign_ss_from_xyz(rxyz[:n])
+            .astype(int).tolist(),
+            "mobile_ss_idx": pdb_utils.assign_ss_from_xyz(
+                np.asarray(maligned, np.float32)).astype(int).tolist(),
+        }
+
+    def downstream_compare_text(self, t: TaskState, ref: str,
+                                mobile: str) -> Dict:
+        rp = self._downstream_pdb_path(t, ref)
+        mp = self._downstream_pdb_path(t, mobile)
+        ref_text = rp.read_text(errors="ignore")
+        mob_text = mp.read_text(errors="ignore")
+        rxyz = pdb_utils.parse_pdb_ca_trace(ref_text)["xyz"]
+        mxyz = pdb_utils.parse_pdb_ca_trace(mob_text)["xyz"]
+        R, tr, rmsd = pdb_utils.kabsch_align_np(mxyz, rxyz)
+        return {
+            "ref_path": str(rp), "mobile_path": str(mp),
+            "ref_name": rp.name, "mobile_name": mp.name,
+            "length": int(min(len(rxyz), len(mxyz))), "rmsd": float(rmsd),
+            "ref_pdb": ref_text,
+            "mobile_pdb": pdb_utils.transform_pdb_text(mob_text, R, tr),
+        }
 
     def selection_path(self, t: TaskState) -> Path:
         return Path(t.run_dir) / "selected_manifest.json"
@@ -285,8 +423,11 @@ def make_handler(state: ServerState):
         # -- routing --
         def do_GET(self):
             try:
+                import urllib.parse
+
                 path, _, query = self.path.partition("?")
-                q = dict(p.split("=", 1) for p in query.split("&") if "=" in p)
+                q = {k: v[0]
+                     for k, v in urllib.parse.parse_qs(query).items()}
                 if path in ("/", "/index.html"):
                     if web_index.exists():
                         self._send(200, web_index.read_text(),
@@ -306,13 +447,60 @@ def make_handler(state: ServerState):
                 if m:
                     t = state.get_task(m.group(1))
                     self._send(200, state.list_curves(
-                        t, q.get("which", "filtered")))
+                        t, q.get("which", "filtered"), q.get("limit")))
                     return
-                m = re.fullmatch(r"/tasks/([0-9a-f]+)/curves/(\d+)", path)
+                m = re.fullmatch(r"/tasks/([0-9a-f]+)/curves/([\w.\-]+)",
+                                 path)
                 if m:
                     t = state.get_task(m.group(1))
                     self._send(200, state.curve_detail(
-                        t, int(m.group(2)), q.get("which", "filtered")))
+                        t, m.group(2), q.get("which", "filtered")))
+                    return
+                # explicit rejected-curves routes (api/server.py:721-752)
+                m = re.fullmatch(r"/tasks/([0-9a-f]+)/rejected-curves", path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    self._send(200, state.list_curves(
+                        t, "rejected", q.get("limit")))
+                    return
+                m = re.fullmatch(
+                    r"/tasks/([0-9a-f]+)/rejected-curves/([\w.\-]+)", path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    self._send(200, state.curve_detail(
+                        t, m.group(2), "rejected"))
+                    return
+                # downstream status + pdb/compare (api/server.py:814-1040)
+                m = re.fullmatch(r"/tasks/([0-9a-f]+)/downstream", path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    self._send(200, state.downstream_status(t))
+                    return
+                m = re.fullmatch(r"/tasks/([0-9a-f]+)/downstream-pdb", path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    self._send(200, state.downstream_pdb(t, q["path"]))
+                    return
+                m = re.fullmatch(r"/tasks/([0-9a-f]+)/downstream-pdb-text",
+                                 path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    self._send(200, state.downstream_pdb_text(t, q["path"]),
+                               "chemical/x-pdb")
+                    return
+                m = re.fullmatch(r"/tasks/([0-9a-f]+)/downstream-compare",
+                                 path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    self._send(200, state.downstream_compare(
+                        t, q["ref"], q["mobile"]))
+                    return
+                m = re.fullmatch(
+                    r"/tasks/([0-9a-f]+)/downstream-compare-pdb-text", path)
+                if m:
+                    t = state.get_task(m.group(1))
+                    self._send(200, state.downstream_compare_text(
+                        t, q["ref"], q["mobile"]))
                     return
                 m = re.fullmatch(r"/tasks/([0-9a-f]+)/downstream-selection",
                                  path)
