@@ -93,44 +93,67 @@ def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
 
 def _keep_mask(shape: Tuple[int, int], s0, s1, cell: jnp.ndarray,
                thresh24: int) -> jnp.ndarray:
-    """Deterministic per-element keep mask for one (b, h) grid cell."""
+    """Deterministic per-element keep mask for one (b, h) grid cell.
+
+    One fmix32 finalizer round over a seed-and-cell-salted element counter:
+    the finalizer is a full-avalanche mixer by construction, so a single
+    round suffices for dropout-grade bits and halves the VPU integer work
+    (the kernel is VPU-bound; see module docstring).
+    """
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     ctr = rows * jnp.uint32(shape[1]) + cols
-    h = _fmix32(ctr ^ s0.astype(jnp.uint32))
-    h = _fmix32(h ^ s1.astype(jnp.uint32) ^ cell.astype(jnp.uint32))
+    salt = (s0.astype(jnp.uint32)
+            ^ (s1.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+            ^ (cell.astype(jnp.uint32) * jnp.uint32(0x7FEB352D)))
+    h = _fmix32(ctr ^ salt)
     return (h >> jnp.uint32(32 - _RATE_BITS)) >= jnp.uint32(thresh24)
 
 
-def _softmax_rows(s: jnp.ndarray) -> jnp.ndarray:
+def _exp_rows(s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable unnormalized softmax: exp(s - rowmax) and its row sums.
+
+    Normalization is deferred to the [Lq, Dh] output (a row scale), not
+    spent as a division pass over the [Lq, Lk] matrix — the kernel is
+    VPU-bound on these full-matrix passes, not on the MXU matmuls.
+    """
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e, jnp.sum(e, axis=-1, keepdims=True)
 
 
 def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref,
-                *, scale: float, thresh24: int, num_heads: int):
+                *, thresh24: int, num_heads: int):
+    # the 1/sqrt(Dh) score scale is pre-folded into q by the wrapper
     q = q_ref[0, 0]                       # [LQP, DP]
     k = k_ref[0, 0]                       # [LKP, DP]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale + bias_ref[0, 0][None, :]   # [LQP, LKP] f32
-    p = _softmax_rows(s)
+    ) + bias_ref[0, 0][None, :]           # [LQP, LKP] f32
+    e, l = _exp_rows(s)
+    rscale = 1.0 / l                      # [LQP, 1]
     if thresh24 > 0:
         cell = pl.program_id(0) * num_heads + pl.program_id(1)
-        keep = _keep_mask(p.shape, seed_ref[0], seed_ref[1],
+        keep = _keep_mask(e.shape, seed_ref[0], seed_ref[1],
                           jnp.uint32(cell), thresh24)
-        inv = 1.0 / (1.0 - thresh24 / float(1 << _RATE_BITS))
-        p = jnp.where(keep, p * inv, 0.0)
-    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0, 0],
+        e = jnp.where(keep, e, 0.0)
+        # survivor rescale folds into the row normalization
+        rscale = rscale * (1.0 / (1.0 - thresh24 / float(1 << _RATE_BITS)))
+    o = jnp.dot(e.astype(v_ref.dtype), v_ref[0, 0],
                 preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    o_ref[0, 0] = (o * rscale).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
                 dq_ref, dk_ref, dv_ref,
-                *, scale: float, thresh24: int, num_heads: int):
+                *, thresh24: int, num_heads: int):
+    # gradient math (see module docstring), normalization kept as row
+    # scales on [L, Dh]-shaped tensors wherever possible:
+    #   P = e * rl,  P~ = M.e.(rl.inv)
+    #   dV = e~^T (dO * rl.inv)            e~ = M.e
+    #   D  = rowsum(e~ * Graw) * rl.inv    Graw = dO V^T
+    #   dS = e * (M.Graw.inv - D) * rl
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
@@ -138,27 +161,31 @@ def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale + bias_ref[0, 0][None, :]
-    p = _softmax_rows(s)                                    # [LQP, LKP]
+    ) + bias_ref[0, 0][None, :]
+    e, l = _exp_rows(s)                                     # [LQP, LKP]
+    rl0 = 1.0 / l                                           # [LQP, 1]
     graw = jax.lax.dot_general(                             # dO V^T
         g, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if thresh24 > 0:
         cell = pl.program_id(0) * num_heads + pl.program_id(1)
-        keep = _keep_mask(p.shape, seed_ref[0], seed_ref[1],
+        keep = _keep_mask(e.shape, seed_ref[0], seed_ref[1],
                           jnp.uint32(cell), thresh24)
         inv = 1.0 / (1.0 - thresh24 / float(1 << _RATE_BITS))
-        pt = jnp.where(keep, p * inv, 0.0)
-        gdrop = jnp.where(keep, graw * inv, 0.0)
+        rl = rl0 * inv
+        et = jnp.where(keep, e, 0.0)                        # e~
+        gdrop = jnp.where(keep, graw, 0.0) * inv
     else:
-        pt = p
+        rl = rl0
+        et = e
         gdrop = graw
-    d = jnp.sum(pt * graw, axis=-1, keepdims=True)          # rowsum(P*G)
-    ds = (p * (gdrop - d) * scale).astype(q.dtype)
+    gs = (g.astype(jnp.float32) * rl).astype(g.dtype)       # [LQP, DP]
     dv_ref[0, 0] = jnp.dot(
-        pt.astype(g.dtype).T, g, preferred_element_type=jnp.float32
+        et.astype(g.dtype).T, gs, preferred_element_type=jnp.float32
     ).astype(dv_ref.dtype)
+    d = jnp.sum(et * graw, axis=-1, keepdims=True) * rl     # [LQP, 1]
+    ds = (e * (gdrop - d) * rl0).astype(q.dtype)
     dq_ref[0, 0] = jnp.dot(
         ds, k, preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)
@@ -184,22 +211,21 @@ def _io_specs(B, H, LQP, LKP, DP, DPV):
     return seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash_core(q, k, v, bias, seed, scale, thresh24, interpret):
-    """q [B,H,LQP,DP], k/v [B,H,LKP,DP], bias [B,LKP] f32, seed int32[2]."""
-    return _flash_core_fwd(q, k, v, bias, seed, scale, thresh24,
-                           interpret)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_core(q, k, v, bias, seed, thresh24, interpret):
+    """q [B,H,LQP,DP] (pre-scaled), k/v [B,H,LKP,DP], bias [B,1,LKP] f32,
+    seed int32[2]."""
+    return _flash_core_fwd(q, k, v, bias, seed, thresh24, interpret)[0]
 
 
-def _flash_core_fwd(q, k, v, bias, seed, scale, thresh24, interpret):
+def _flash_core_fwd(q, k, v, bias, seed, thresh24, interpret):
     B, H, LQP, DP = q.shape
     LKP = k.shape[2]
     DPV = v.shape[3]
     seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec = _io_specs(
         B, H, LQP, LKP, DP, DPV)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, thresh24=thresh24,
-                          num_heads=H),
+        functools.partial(_fwd_kernel, thresh24=thresh24, num_heads=H),
         grid=(B, H),
         in_specs=[seed_spec, bias_spec, q_spec, k_spec, v_spec],
         out_specs=o_spec,
@@ -215,7 +241,7 @@ def _flash_core_fwd(q, k, v, bias, seed, scale, thresh24, interpret):
     return out, (q, k, v, bias, seed)
 
 
-def _flash_core_bwd(scale, thresh24, interpret, res, g):
+def _flash_core_bwd(thresh24, interpret, res, g):
     q, k, v, bias, seed = res
     B, H, LQP, DP = q.shape
     LKP = k.shape[2]
@@ -223,8 +249,7 @@ def _flash_core_bwd(scale, thresh24, interpret, res, g):
     seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec = _io_specs(
         B, H, LQP, LKP, DP, DPV)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, thresh24=thresh24,
-                          num_heads=H),
+        functools.partial(_bwd_kernel, thresh24=thresh24, num_heads=H),
         grid=(B, H),
         in_specs=[seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec],
         out_specs=[q_spec, k_spec, v_spec],
@@ -308,6 +333,10 @@ def flash_attention(
         valid = key_mask
     bias = jnp.where(valid, 0.0, _NEG_BIG).astype(jnp.float32)[:, None, :]
 
-    out = _flash_core(to_bhld(q), to_bhld(k), to_bhld(v), bias, seed,
-                      float(scale), thresh24, bool(interpret))
+    # fold the score scale into q host-side ([Lq, Dh] elements instead of
+    # an [Lq, Lk] multiply pass in-kernel); autodiff rescales dq through
+    # this multiply
+    q_scaled = q * jnp.asarray(scale, q.dtype)
+    out = _flash_core(to_bhld(q_scaled), to_bhld(k), to_bhld(v), bias,
+                      seed, thresh24, bool(interpret))
     return jnp.transpose(out, (0, 2, 1, 3))
