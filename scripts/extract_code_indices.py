@@ -82,9 +82,23 @@ def main() -> None:
                     choices=["train", "val"])
     ap.add_argument("--save_latents", action="store_true", default=True)
     ap.add_argument("--save_geometry", action="store_true", default=True)
+    # explicit multi-process bring-up (replaces the reference's
+    # init_process_group("nccl") from env RANK/WORLD_SIZE, :66-70). On TPU
+    # pods jax.distributed.initialize() autodetects; these flags cover
+    # CPU/manual worlds.
+    ap.add_argument("--coordinator", type=str, default="",
+                    help="coordinator address host:port for "
+                         "jax.distributed.initialize")
+    ap.add_argument("--num_processes", type=int, default=0)
+    ap.add_argument("--process_id", type=int, default=-1)
     args = ap.parse_args()
 
     import jax
+
+    if args.coordinator:
+        jax.distributed.initialize(args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
 
     from pytorch_vae_tpu import config as cfglib
     from pytorch_vae_tpu.data.curves import CurveDataset, pad_batch
@@ -155,6 +169,13 @@ def main() -> None:
                 n_written += 1
             print(f"[rank {rank}] {min(i0 + args.batch_size, len(my_ids))}"
                   f"/{len(my_ids)}", flush=True)
+
+    # all ranks must finish writing before rank 0 merges (the reference
+    # used dist.barrier(), :561; the jax equivalent is a global sync)
+    if world > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("extract_code_indices_done")
 
     # rank-0 manifest merge (multi-host: all ranks share the filesystem)
     if rank == 0:

@@ -74,5 +74,10 @@ def tiny_ckpt(tmp_path_factory):
 
     config_path = str(root / "tiny.yaml")
     with open(config_path, "w") as f:
-        yaml.safe_dump({"model_params": TINY_MODEL}, f)
+        yaml.safe_dump({
+            "model_params": TINY_MODEL,
+            "data_params": {"npy_dir": data_dir,
+                            "train_list": "train_list.txt",
+                            "val_list": "val_list.txt"},
+        }, f)
     return config_path, ckpt_path
