@@ -33,6 +33,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def embed(latents: np.ndarray, method: str, seed: int):
@@ -43,11 +44,34 @@ def embed(latents: np.ndarray, method: str, seed: int):
     reduced = pca.fit_transform(latents)
     if method == "pca":
         return reduced[:, :2], pca
+    if method == "umap":
+        # native minimal UMAP (umap-learn is not in this image); replaces
+        # the reference's probe_pdb_in_umap.py embedding backend
+        from umap_min import fit_umap
+
+        return fit_umap(reduced, seed=seed), pca
     from sklearn.manifold import TSNE
 
     ts = TSNE(n_components=2, random_state=seed, init="pca",
               perplexity=min(30, max(5, latents.shape[0] // 4 - 1)))
     return ts.fit_transform(reduced), pca
+
+
+def load_labels(path: str, names) -> list:
+    """name -> class labels (e.g. CATH classes), json {name: label} or
+    tsv/csv 'name<sep>label' lines (reference visualize_tsne_cath_seq.py
+    colored atlases by CATH class parsed from a mapping)."""
+    import json as _json
+
+    if path.endswith(".json"):
+        table = _json.load(open(path))
+    else:
+        table = {}
+        for line in open(path):
+            parts = line.replace(",", "\t").split("\t")
+            if len(parts) >= 2:
+                table[parts[0].strip()] = parts[1].strip()
+    return [table.get(str(n), "?") for n in names]
 
 
 def main() -> None:
@@ -57,7 +81,10 @@ def main() -> None:
                     help="reuse a previously computed atlas.npz")
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--method", type=str, default="pca",
-                    choices=["pca", "tsne"])
+                    choices=["pca", "tsne", "umap"])
+    ap.add_argument("--labels", type=str, default="",
+                    help="name->class mapping (json/tsv) for CATH-style "
+                         "class coloring; needs 'names' in the bank")
     ap.add_argument("--config", type=str, default="")
     ap.add_argument("--ckpt", type=str, default="",
                     help="with --config: overlay the VQ codebook / encode "
@@ -70,20 +97,30 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     from pytorch_vae_tpu.pipelines.aeot import load_latent_bank
 
+    names = None
     if args.cache and os.path.exists(args.cache):
         cache = dict(np.load(args.cache, allow_pickle=True))
         xy = cache["xy"]
         latents = cache["latents"]
         lengths = cache.get("lengths")
+        names = cache.get("names")
         print(f"[atlas] loaded cache: {xy.shape[0]} points")
     else:
         bank = load_latent_bank(args.latents)
         latents = np.asarray(bank["latents"], np.float32)
         lengths = np.asarray(bank.get("lengths", np.zeros(len(latents))))
+        names = bank.get("names")
         xy, _pca = embed(latents, args.method, args.seed)
         np.savez(os.path.join(args.out, "atlas.npz"), xy=xy,
-                 latents=latents, lengths=lengths, method=args.method)
+                 latents=latents, lengths=lengths, method=args.method,
+                 **({"names": names} if names is not None else {}))
         print(f"[atlas] embedded {xy.shape[0]} points with {args.method}")
+
+    labels = None
+    if args.labels:
+        if names is None:
+            names = [str(i) for i in range(len(latents))]
+        labels = load_labels(args.labels, names)
 
     bundle = None
     code_xy = None
@@ -125,11 +162,20 @@ def main() -> None:
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(8, 7))
-    c = lengths if lengths is not None and np.ptp(lengths) > 0 else None
-    sc = ax.scatter(xy[:, 0], xy[:, 1], s=6, c=c, cmap="viridis",
-                    alpha=0.6, label="latents")
-    if c is not None:
-        fig.colorbar(sc, label="curve length")
+    if labels is not None:
+        # CATH-style class coloring (visualize_tsne_cath_seq.py)
+        classes = sorted(set(labels))
+        cmap = plt.get_cmap("tab10")
+        for ci, cl in enumerate(classes):
+            m = np.asarray([la == cl for la in labels])
+            ax.scatter(xy[m, 0], xy[m, 1], s=8, alpha=0.7,
+                       color=cmap(ci % 10), label=f"class {cl} ({m.sum()})")
+    else:
+        c = lengths if lengths is not None and np.ptp(lengths) > 0 else None
+        sc = ax.scatter(xy[:, 0], xy[:, 1], s=6, c=c, cmap="viridis",
+                        alpha=0.6, label="latents")
+        if c is not None:
+            fig.colorbar(sc, label="curve length")
     if code_xy is not None:
         ax.scatter(code_xy[:, 0], code_xy[:, 1], s=14, c="#e5654f",
                    marker="x", label="codebook")
