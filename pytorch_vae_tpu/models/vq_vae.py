@@ -336,13 +336,24 @@ class VQVAE(nn.Module):
                     & (step_after >= float(min_steps))
                 )
                 flat = z_e.reshape(-1, z_e.shape[-1])
-                if indices.ndim == 1:
-                    idx_for_usage = indices
+                if new_ep is not None:
+                    # epoch-accumulated usage histogram: matches the
+                    # reference's reinit window, which reads usage_counts
+                    # accumulated since reset_epoch_stats
+                    # (models/vq_vae.py:91-107,109-164)
+                    usage_signal = new_ep.usage
                 else:
-                    idx_for_usage = indices.reshape(-1)
-                usage_signal = jnp.zeros(
-                    (cfg.total_codes,), jnp.float32
-                ).at[idx_for_usage].add(1.0)
+                    # no epoch stats carried (e.g. bare forward): fall
+                    # back to this batch's histogram — a narrower window
+                    # that can only over-trigger reinit, never miss a
+                    # truly dead code
+                    if indices.ndim == 1:
+                        idx_for_usage = indices
+                    else:
+                        idx_for_usage = indices.reshape(-1)
+                    usage_signal = jnp.zeros(
+                        (cfg.total_codes,), jnp.float32
+                    ).at[idx_for_usage].add(1.0)
                 new_state = vq.maybe_reinit_dead_codes(
                     new_state, flat, usage_signal, cfg,
                     self.make_rng("reinit"), do_reinit)
