@@ -19,13 +19,13 @@ Design choices (TPU-first, intentionally NOT a port of any CUDA kernel):
   (384x384 = 576 KB). No running-max bookkeeping, no saved logsumexp —
   the backward simply recomputes the softmax (FLOPs are cheap, HBM is
   not). Grid is (B, H); each instance does 2 MXU matmuls fwd, 5 bwd.
-- In-kernel dropout with a *stateless counter-based hash RNG* (murmur3
-  fmix32 double-round over a per-element counter mixed with the seed and
-  the (b, h) grid cell). The same formula regenerates the identical mask
-  in the backward kernel — nothing but the int32 seed pair is carried
-  between fwd and bwd. Plain uint32 vector ops, so the kernel behaves
-  identically under the Pallas interpreter on CPU (pltpu.prng_random_bits
-  returns zeros there, which would silently drop everything).
+- In-kernel dropout regenerated from the int32 seed pair alone: the
+  backward kernel reproduces the identical mask, nothing else is carried
+  between fwd and bwd. On hardware the bits come from the TPU PRNG
+  (pltpu.prng_seed(s0, s1, cell) + prng_random_bits); under the Pallas
+  interpreter — where prng_random_bits returns zeros — a stateless
+  murmur3-fmix32 counter hash with the same contract is used instead
+  (see _keep_mask).
 - Dropout rate is quantized to 1/2^24 (cf. CheapDropout's 1/256 in
   models/layers.py); the survivor scale uses the actual quantized rate so
   the estimator stays unbiased.
@@ -92,14 +92,24 @@ def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
 
 
 def _keep_mask(shape: Tuple[int, int], s0, s1, cell: jnp.ndarray,
-               thresh24: int) -> jnp.ndarray:
+               thresh24: int, hw_rng: bool) -> jnp.ndarray:
     """Deterministic per-element keep mask for one (b, h) grid cell.
 
-    One fmix32 finalizer round over a seed-and-cell-salted element counter:
-    the finalizer is a full-avalanche mixer by construction, so a single
-    round suffices for dropout-grade bits and halves the VPU integer work
-    (the kernel is VPU-bound; see module docstring).
+    Two bit sources with the same determinism contract (same seed pair +
+    cell -> same mask, so the backward regenerates it exactly):
+
+      - hw_rng=True: the TPU's PRNG (pltpu.prng_seed + prng_random_bits),
+        a dedicated instruction — used on hardware, where the murmur hash
+        was measurable VPU time on this VPU-bound kernel.
+      - hw_rng=False: one fmix32 finalizer round (full-avalanche by
+        construction) over a seed-and-cell-salted element counter — used
+        under the Pallas interpreter, where prng_random_bits returns
+        zeros; also the reproducible-everywhere reference for tests.
     """
+    if hw_rng:
+        pltpu.prng_seed(s0, s1, cell.astype(jnp.int32))
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return (bits >> jnp.uint32(32 - _RATE_BITS)) >= jnp.uint32(thresh24)
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     ctr = rows * jnp.uint32(shape[1]) + cols
@@ -123,7 +133,7 @@ def _exp_rows(s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref,
-                *, thresh24: int, num_heads: int):
+                *, thresh24: int, num_heads: int, hw_rng: bool):
     # the 1/sqrt(Dh) score scale is pre-folded into q by the wrapper
     q = q_ref[0, 0]                       # [LQP, DP]
     k = k_ref[0, 0]                       # [LKP, DP]
@@ -136,7 +146,7 @@ def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref,
     if thresh24 > 0:
         cell = pl.program_id(0) * num_heads + pl.program_id(1)
         keep = _keep_mask(e.shape, seed_ref[0], seed_ref[1],
-                          jnp.uint32(cell), thresh24)
+                          jnp.uint32(cell), thresh24, hw_rng)
         e = jnp.where(keep, e, 0.0)
         # survivor rescale folds into the row normalization
         rscale = rscale * (1.0 / (1.0 - thresh24 / float(1 << _RATE_BITS)))
@@ -147,7 +157,7 @@ def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref,
 
 def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
                 dq_ref, dk_ref, dv_ref,
-                *, thresh24: int, num_heads: int):
+                *, thresh24: int, num_heads: int, hw_rng: bool):
     # gradient math (see module docstring), normalization kept as row
     # scales on [L, Dh]-shaped tensors wherever possible:
     #   P = e * rl,  P~ = M.e.(rl.inv)
@@ -171,7 +181,7 @@ def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
     if thresh24 > 0:
         cell = pl.program_id(0) * num_heads + pl.program_id(1)
         keep = _keep_mask(e.shape, seed_ref[0], seed_ref[1],
-                          jnp.uint32(cell), thresh24)
+                          jnp.uint32(cell), thresh24, hw_rng)
         inv = 1.0 / (1.0 - thresh24 / float(1 << _RATE_BITS))
         rl = rl0 * inv
         et = jnp.where(keep, e, 0.0)                        # e~
@@ -225,7 +235,8 @@ def _flash_core_fwd(q, k, v, bias, seed, thresh24, interpret):
     seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec = _io_specs(
         B, H, LQP, LKP, DP, DPV)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, thresh24=thresh24, num_heads=H),
+        functools.partial(_fwd_kernel, thresh24=thresh24, num_heads=H,
+                          hw_rng=not interpret),
         grid=(B, H),
         in_specs=[seed_spec, bias_spec, q_spec, k_spec, v_spec],
         out_specs=o_spec,
@@ -249,7 +260,8 @@ def _flash_core_bwd(thresh24, interpret, res, g):
     seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec = _io_specs(
         B, H, LQP, LKP, DP, DPV)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, thresh24=thresh24, num_heads=H),
+        functools.partial(_bwd_kernel, thresh24=thresh24, num_heads=H,
+                          hw_rng=not interpret),
         grid=(B, H),
         in_specs=[seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec],
         out_specs=[q_spec, k_spec, v_spec],

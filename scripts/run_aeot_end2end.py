@@ -213,11 +213,50 @@ def main() -> None:
         "features_pt": str(args.features_pt), "ot_h": str(args.ot_h),
     }
 
-    # 3) decode + filter, single streaming pass
+    # 3) decode + filter, single streaming pass. The O(L^2) geometric
+    # filter is host-side numpy; it runs on a single worker thread so
+    # batch i filters while batch i+1 decodes on the device (the worker
+    # is alone, so manifest order and counters stay sequential).
+    from concurrent.futures import ThreadPoolExecutor
+
     t_df0 = time.time()
     bs = int(args.decode_batch_size)
+
+    def host_work(i0, curves, b_len, mf, rmf):
+        nonlocal kept, total_decoded
+        for bi, curve6 in enumerate(curves):
+            gi = i0 + bi
+            L = int(b_len[bi]) if b_len.size else args.gen_len_fallback
+            fname = args.name_pattern.format(idx=gi,
+                                             run_name=file_run_name)
+            if raw_dir is not None:
+                np.save(raw_dir / fname, curve6, allow_pickle=False)
+            passed, stats, reason = filtering.curve_pass_filter(
+                curve6, params)
+            total_decoded += 1
+            if not passed:
+                reject_counts[reason] = reject_counts.get(reason, 0) + 1
+                rej_path = rejected_dir / fname
+                np.save(rej_path, curve6, allow_pickle=False)
+                rec = {"i": gi, "recon_path": str(rej_path),
+                       "length_recon": L, "reject_reason": reason,
+                       **prov, **stats}
+                rmf.write(json.dumps(rec) + "\n")
+                continue
+            out_path = filtered_dir / fname
+            np.save(out_path, curve6, allow_pickle=False)
+            rec = {"i": gi, "recon_path": str(out_path),
+                   "length_recon": int(stats.get("length_recon", L)),
+                   **prov, **stats}
+            mf.write(json.dumps(rec) + "\n")
+            kept += 1
+        print(f"[progress] {min(i0 + bs, N)}/{N} decoded, kept={kept}",
+              flush=True)
+
     with manifest_path.open("w") as mf, \
-            rejected_manifest_path.open("w") as rmf:
+            rejected_manifest_path.open("w") as rmf, \
+            ThreadPoolExecutor(max_workers=1) as pool:
+        futures = []
         for i0 in range(0, N, bs):
             i1 = min(N, i0 + bs)
             z_tokens = z_sel[i0:i1].reshape(
@@ -226,33 +265,10 @@ def main() -> None:
             # pad to the model max so decode compiles once
             curves = bundle.decode_curve6(z_tokens, b_len,
                                           pad_to=max_model_len)
-            for bi, curve6 in enumerate(curves):
-                gi = i0 + bi
-                L = int(b_len[bi]) if b_len.size else args.gen_len_fallback
-                fname = args.name_pattern.format(idx=gi,
-                                                 run_name=file_run_name)
-                if raw_dir is not None:
-                    np.save(raw_dir / fname, curve6, allow_pickle=False)
-                passed, stats, reason = filtering.curve_pass_filter(
-                    curve6, params)
-                total_decoded += 1
-                if not passed:
-                    reject_counts[reason] = reject_counts.get(reason, 0) + 1
-                    rej_path = rejected_dir / fname
-                    np.save(rej_path, curve6, allow_pickle=False)
-                    rec = {"i": gi, "recon_path": str(rej_path),
-                           "length_recon": L, "reject_reason": reason,
-                           **prov, **stats}
-                    rmf.write(json.dumps(rec) + "\n")
-                    continue
-                out_path = filtered_dir / fname
-                np.save(out_path, curve6, allow_pickle=False)
-                rec = {"i": gi, "recon_path": str(out_path),
-                       "length_recon": int(stats.get("length_recon", L)),
-                       **prov, **stats}
-                mf.write(json.dumps(rec) + "\n")
-                kept += 1
-            print(f"[progress] {i1}/{N} decoded, kept={kept}", flush=True)
+            futures.append(pool.submit(host_work, i0, curves, b_len,
+                                       mf, rmf))
+        for f in futures:
+            f.result()  # propagate filter/IO errors
     t_df1 = time.time()
 
     summary = {
