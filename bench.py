@@ -82,13 +82,29 @@ def main() -> None:
         best_dt = min(best_dt, (time.perf_counter() - t0) / ITERS)
 
     per_chip = BATCH / best_dt / n_chips
-    print(json.dumps({
+    record = {
         "metric": "train images/sec/chip, VanillaVAE 64x64 bf16 batch "
                   f"{BATCH}",
         "value": round(per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / TARGET, 4),
-    }))
+    }
+    # secondary: flagship curve VQ-VAE train step, reported as extra keys
+    # on the same single JSON line (driver contract: one line)
+    try:
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        from run_all import bench_flagship
+
+        fl = bench_flagship("bfloat16", 30)
+        record["flagship_ms_per_step"] = round(fl["ms_per_step"], 2)
+        record["flagship_curves_per_sec"] = round(fl["curves_per_sec"], 1)
+    except Exception as e:  # headline metric must still print
+        record["flagship_error"] = repr(e)[:200]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -87,6 +87,7 @@ DEFAULT_WEIGHT_KEYS: Dict[str, float] = {
     "ss_weight": 1.0,
     "bond_length_weight": 0.0,
     "bond_angle_weight": 0.0,
+    "bond_min_hinge_weight": 0.0,
     "xyz_tv_lambda": 0.0,
     "dir_weight": 0.0,
     "dih_weight": 0.0,

@@ -48,6 +48,8 @@ class LossStatics:
     kappa: bool = False
     tau: bool = False
     lr_pdm: bool = False
+    # margin (Angstrom) of the min-bond hinge (extension; see bond term)
+    bond_hinge_margin: float = 2.5
     # static window geometry (experiment.py:317-318 rounds these to ints)
     pdm_window: int = 8
     win_kabsch_size: int = 16
@@ -294,11 +296,19 @@ def curve_loss(
 
     # ----- bond length / angle / direction / dihedral -----
     L = re_xyz_real.shape[1]
-    bl = ba = dir_loss = dih = zero
+    bl = ba = dir_loss = dih = bond_hinge = zero
     if L >= 2:
         re_len = geometry.bond_lengths(re_xyz_real)
         gt_len = geometry.bond_lengths(gt_xyz_real)
         bl = masked_mean((re_len - gt_len) ** 2, pair_mask(mask, 2))
+        # min-bond hinge: squared penalty on any reconstructed bond below
+        # the margin. Intentional extension beyond the reference loss set
+        # (documented deviation): the GT-matching bond MSE leaves a tail
+        # of collapsed bonds that the AE-OT filter hard-rejects
+        # (run_aeot_end2end BOND_MIN_ALLOWED=1.4); this term attacks that
+        # failure mode directly.
+        hinge = jnp.maximum(statics.bond_hinge_margin - re_len, 0.0)
+        bond_hinge = masked_mean(hinge**2, pair_mask(mask, 2))
         u_rec = unit(re_xyz_real[:, 1:, :] - re_xyz_real[:, :-1, :])
         u_gt = unit(gt_xyz_real[:, 1:, :] - gt_xyz_real[:, :-1, :])
         dir_err = 1.0 - jnp.sum(u_rec * u_gt, axis=-1)
@@ -318,6 +328,7 @@ def curve_loss(
         + w["bond_angle_weight"] * ba
         + w["dir_weight"] * dir_loss
         + w["dih_weight"] * dih
+        + w["bond_min_hinge_weight"] * bond_hinge
     )
 
     # ----- VQ commitment (codebook side is EMA-only; vq_vae.py:1292-1296) ---
@@ -410,6 +421,7 @@ def curve_loss(
         "SS_Accuracy": ss_acc,
         "VQ_Loss": jax.lax.stop_gradient(vq_loss),
         "Geom_BondLength_Loss": jax.lax.stop_gradient(bl),
+        "Geom_BondMinHinge": jax.lax.stop_gradient(bond_hinge),
         "Geom_BondAngle_Loss": jax.lax.stop_gradient(ba),
         "Geom_Direction_Loss": jax.lax.stop_gradient(dir_loss),
         "Geom_Dihedral_Loss": jax.lax.stop_gradient(dih),

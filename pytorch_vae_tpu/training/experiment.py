@@ -148,6 +148,8 @@ class VQVAEExperiment:
         return LossStatics(
             use_vq=self.use_vq,
             seq_len=int(self.model.max_seq_len),
+            bond_hinge_margin=float(
+                self.exp_params.get("bond_hinge_margin", 2.5)),
             ss_tv=ever("ss_tv_lambda"),
             usage_entropy=ever("usage_entropy_lambda"),
             xyz_tv=ever("xyz_tv_lambda"),

@@ -106,6 +106,7 @@ def test_loss_ignores_padded_garbage():
     w = _weights(pdm_weight=0.1, win_kabsch_weight=0.1, lr_pdm_weight=0.1,
                  kappa_weight=0.1, tau_weight=0.1, ss_tv_lambda=0.1,
                  xyz_tv_lambda=0.1, bond_length_weight=0.1,
+                 bond_min_hinge_weight=0.1,
                  bond_angle_weight=0.1, dir_weight=0.1, dih_weight=0.1)
     st = _statics(recons.shape[1], pdm=True, win_kabsch=True, kappa=True,
                   tau=True, lr_pdm=True, ss_tv=True,

@@ -24,6 +24,7 @@ B, L = 4, 40
 WEIGHTS = dict(
     DEFAULT_WEIGHT_KEYS,
     ss_weight=0.8, rmsd_weight=1.8, bond_length_weight=0.01,
+    bond_min_hinge_weight=0.02,
     bond_angle_weight=0.004, dir_weight=0.002, dih_weight=0.003,
     xyz_tv_lambda=0.001, ss_tv_lambda=0.002, label_smoothing=0.02,
     beta=0.005, xyz_align_alpha=0.95, pdm_weight=0.001,
@@ -118,6 +119,8 @@ def torch_oracle(recons, target, zq, ze, mask, w):
     re_len = (re_xyz[:, 1:] - re_xyz[:, :-1]).norm(dim=-1)
     gt_len = (gt_xyz[:, 1:] - gt_xyz[:, :-1]).norm(dim=-1)
     bl = _masked_mean_t((re_len - gt_len) ** 2, pm(2))
+    bond_hinge = _masked_mean_t(
+        torch.clamp(2.5 - re_len, min=0.0) ** 2, pm(2))
 
     def cosang(x):
         v1 = x[:, 1:-1] - x[:, :-2]
@@ -170,6 +173,7 @@ def torch_oracle(recons, target, zq, ze, mask, w):
         w["rmsd_weight"] * loss_xyz + w["ss_weight"] * loss_ss
         + w["beta"] * commit
         + w["bond_length_weight"] * bl + w["bond_angle_weight"] * ba
+        + w["bond_min_hinge_weight"] * bond_hinge
         + w["dir_weight"] * dir_loss + w["dih_weight"] * dih
         + w["ss_tv_lambda"] * ss_tv + w["xyz_tv_lambda"] * xyz_tv
         + w["pdm_weight"] * pdm + w["kappa_weight"] * kappa
@@ -179,6 +183,7 @@ def torch_oracle(recons, target, zq, ze, mask, w):
         "loss": total, "Reconstruction_Loss_XYZ": loss_xyz,
         "XYZ_MSE_Raw": raw.mean(), "Reconstruction_Loss_SS": loss_ss,
         "SS_TV": ss_tv, "Geom_BondLength_Loss": bl,
+        "Geom_BondMinHinge": bond_hinge,
         "Geom_BondAngle_Loss": ba, "Geom_Direction_Loss": dir_loss,
         "Geom_Dihedral_Loss": dih, "XYZ_TV2": xyz_tv,
         "Geom_LocalPDM": pdm, "Geom_LongRangePDM": lr_pdm,
