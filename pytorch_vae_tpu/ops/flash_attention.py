@@ -107,7 +107,13 @@ def _keep_mask(shape: Tuple[int, int], s0, s1, cell: jnp.ndarray,
         zeros; also the reproducible-everywhere reference for tests.
     """
     if hw_rng:
-        pltpu.prng_seed(s0, s1, cell.astype(jnp.int32))
+        # single int32 seed: this backend's tpu.prng_set_seed_32 rejects
+        # multi-operand seeds, so (s0, s1, cell) are mixed into one salt
+        salt = (s0.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                ^ s1.astype(jnp.uint32)
+                ^ cell * jnp.uint32(0x7FEB352D))
+        # top bit dropped: scalar u32->s32 bitcasts don't lower in Mosaic
+        pltpu.prng_seed((salt >> jnp.uint32(1)).astype(jnp.int32))
         bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         return (bits >> jnp.uint32(32 - _RATE_BITS)) >= jnp.uint32(thresh24)
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
