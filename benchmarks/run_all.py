@@ -139,6 +139,58 @@ def bench_flagship(dtype_name: str, iters: int) -> dict:
             "final_loss_finite": bool(lv == lv), "dtype": dtype_name}
 
 
+ZOO_CONFIGS = (
+    # every BASELINE.json benchmark config (file, table row name)
+    ("configs/vae.yaml", "VanillaVAE"),
+    ("configs/beta_vae.yaml", "BetaVAE"),
+    ("configs/disentangled_beta_vae.yaml", "DisentangledBetaVAE"),
+    ("configs/wae_mmd_rbf.yaml", "WAE-MMD (RBF)"),
+    ("configs/wae_mmd_imq.yaml", "WAE-MMD (IMQ)"),
+    ("configs/iwae.yaml", "IWAE K=5"),
+    ("configs/miwae.yaml", "MIWAE K=5 M=3"),
+)
+
+
+def bench_zoo_model(config_path: str, iters: int, batch: int = 256) -> dict:
+    """Train-step throughput for one zoo YAML through the real
+    ZooExperiment path (model registry, loss kwargs, optimizer), bf16
+    compute, synthetic on-device batch, hard-sync timing."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from pytorch_vae_tpu.parallel.mesh import make_mesh
+    from pytorch_vae_tpu.training.zoo_experiment import ZooExperiment
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, config_path)) as f:
+        cfg = yaml.safe_load(f)
+    dp = dict(cfg["data_params"])
+    dp.pop("data_path", None)  # force synthetic (no corpus on this image)
+    dp["synthetic_size"] = batch
+    dp["train_batch_size"] = batch
+    ep = dict(cfg["exp_params"])
+    ep["bf16"] = True
+    exp = ZooExperiment(cfg["model_params"], ep, dp, cfg.get(
+        "trainer_params"), verbose=False,
+        mesh=make_mesh(data=1, model=1, devices=jax.devices()[:1]))
+    exp.setup()
+    exp.init_state()
+    step = exp.make_train_step()
+    x = jnp.asarray(next(iter(exp.train_loader)))
+    for _ in range(3):
+        exp.state, ld = step(exp.state, x, exp._base_rng)
+    float(ld["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        exp.state, ld = step(exp.state, x, exp._base_rng)
+    loss = float(ld["loss"])  # hard sync
+    dt = (time.perf_counter() - t0) / iters
+    return {"ms_per_step": dt * 1e3, "images_per_sec": batch / dt,
+            "batch": batch, "final_loss": loss,
+            "img_size": int(dp.get("img_size", 64))}
+
+
 def bench_vq_kernel(iters: int) -> dict:
     import jax
     import jax.numpy as jnp
@@ -201,6 +253,8 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip_flagship", action="store_true",
                     help="flagship compiles take minutes on the relay")
+    ap.add_argument("--skip_zoo", action="store_true",
+                    help="skip the per-model zoo sweep")
     args = ap.parse_args()
 
     import jax
@@ -212,6 +266,14 @@ def main() -> None:
     }
     print("[bench] vanilla VAE ...", flush=True)
     results["vanilla_vae_b1024"] = bench_vanilla(1024, iters)
+    if not args.skip_zoo:
+        results["zoo"] = {}
+        for cfg_path, row in ZOO_CONFIGS:
+            print(f"[bench] zoo {row} ...", flush=True)
+            try:
+                results["zoo"][row] = bench_zoo_model(cfg_path, iters)
+            except Exception as e:  # keep sweeping; record the failure
+                results["zoo"][row] = {"error": repr(e)[:200]}
     print("[bench] VQ kernel ...", flush=True)
     results["vq_kernel"] = bench_vq_kernel(iters)
     print("[bench] native filter ...", flush=True)
