@@ -139,114 +139,176 @@ def _exp_rows(s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref,
-                *, thresh24: int, num_heads: int, hw_rng: bool):
-    # the 1/sqrt(Dh) score scale is pre-folded into q by the wrapper
-    q = q_ref[0, 0]                       # [LQP, DP]
-    k = k_ref[0, 0]                       # [LKP, DP]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bias_ref[0, 0][None, :]           # [LQP, LKP] f32
-    e, l = _exp_rows(s)
-    rscale = 1.0 / l                      # [LQP, 1]
-    if thresh24 > 0:
-        cell = pl.program_id(0) * num_heads + pl.program_id(1)
-        keep = _keep_mask(e.shape, seed_ref[0], seed_ref[1],
-                          jnp.uint32(cell), thresh24, hw_rng)
-        e = jnp.where(keep, e, 0.0)
-        # survivor rescale folds into the row normalization
-        rscale = rscale * (1.0 / (1.0 - thresh24 / float(1 << _RATE_BITS)))
-    o = jnp.dot(e.astype(v_ref.dtype), v_ref[0, 0],
-                preferred_element_type=jnp.float32)
-    o_ref[0, 0] = (o * rscale).astype(o_ref.dtype)
+                *, thresh24: int, num_heads: int, hpb: int, hw_rng: bool):
+    """One (batch, head-group) cell: hpb heads, statically unrolled.
+
+    Hardware Mosaic requires the lane (last) block dim to be a multiple
+    of 128 or the full array width; a single Dh=64 head violates that in
+    the 3D [B, L, H*Dh] layout, so each grid cell owns `hpb` consecutive
+    heads (hpb*Dh % 128 == 0) and loops them in-register. Per-head value
+    slices at lane offsets j*Dh are plain vector relayouts — cheap next
+    to the two MXU matmuls per head.
+    """
+    qb = q_ref[0]                         # [LQP, hpb*DH]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    dh = qb.shape[-1] // hpb
+    dhv = vb.shape[-1] // hpb
+    bias = bias_ref[0, 0][None, :]        # [1, LKP] f32
+    outs = []
+    for j in range(hpb):
+        q = qb[:, j * dh:(j + 1) * dh]
+        k = kb[:, j * dh:(j + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias                          # [LQP, LKP] f32
+        e, l = _exp_rows(s)
+        rscale = 1.0 / l                  # [LQP, 1]
+        if thresh24 > 0:
+            head = pl.program_id(1) * hpb + j
+            cell = pl.program_id(0) * num_heads + head
+            keep = _keep_mask(e.shape, seed_ref[0], seed_ref[1],
+                              jnp.uint32(cell), thresh24, hw_rng)
+            e = jnp.where(keep, e, 0.0)
+            # survivor rescale folds into the row normalization
+            rscale = rscale * (
+                1.0 / (1.0 - thresh24 / float(1 << _RATE_BITS)))
+        o = jnp.dot(e.astype(vb.dtype), vb[:, j * dhv:(j + 1) * dhv],
+                    preferred_element_type=jnp.float32)
+        outs.append((o * rscale).astype(o_ref.dtype))
+    o_ref[0] = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
 
 
 def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
                 dq_ref, dk_ref, dv_ref,
-                *, thresh24: int, num_heads: int, hw_rng: bool):
+                *, thresh24: int, num_heads: int, hpb: int, hw_rng: bool):
     # gradient math (see module docstring), normalization kept as row
     # scales on [L, Dh]-shaped tensors wherever possible:
     #   P = e * rl,  P~ = M.e.(rl.inv)
     #   dV = e~^T (dO * rl.inv)            e~ = M.e
     #   D  = rowsum(e~ * Graw) * rl.inv    Graw = dO V^T
     #   dS = e * (M.Graw.inv - D) * rl
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    g = g_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bias_ref[0, 0][None, :]
-    e, l = _exp_rows(s)                                     # [LQP, LKP]
-    rl0 = 1.0 / l                                           # [LQP, 1]
-    graw = jax.lax.dot_general(                             # dO V^T
-        g, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if thresh24 > 0:
-        cell = pl.program_id(0) * num_heads + pl.program_id(1)
-        keep = _keep_mask(e.shape, seed_ref[0], seed_ref[1],
-                          jnp.uint32(cell), thresh24, hw_rng)
-        inv = 1.0 / (1.0 - thresh24 / float(1 << _RATE_BITS))
-        rl = rl0 * inv
-        et = jnp.where(keep, e, 0.0)                        # e~
-        gdrop = jnp.where(keep, graw, 0.0) * inv
-    else:
-        rl = rl0
-        et = e
-        gdrop = graw
-    gs = (g.astype(jnp.float32) * rl).astype(g.dtype)       # [LQP, DP]
-    dv_ref[0, 0] = jnp.dot(
-        et.astype(g.dtype).T, gs, preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
-    d = jnp.sum(et * graw, axis=-1, keepdims=True) * rl     # [LQP, 1]
-    ds = (e * (gdrop - d) * rl0).astype(q.dtype)
-    dq_ref[0, 0] = jnp.dot(
-        ds, k, preferred_element_type=jnp.float32
-    ).astype(dq_ref.dtype)
-    dk_ref[0, 0] = jnp.dot(
-        ds.T, q, preferred_element_type=jnp.float32
-    ).astype(dk_ref.dtype)
+    qb = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    gb = g_ref[0]
+    dh = qb.shape[-1] // hpb
+    dhv = vb.shape[-1] // hpb
+    bias = bias_ref[0, 0][None, :]
+    dqs, dks, dvs = [], [], []
+    for j in range(hpb):
+        q = qb[:, j * dh:(j + 1) * dh]
+        k = kb[:, j * dh:(j + 1) * dh]
+        v = vb[:, j * dhv:(j + 1) * dhv]
+        g = gb[:, j * dhv:(j + 1) * dhv]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias
+        e, l = _exp_rows(s)                                 # [LQP, LKP]
+        rl0 = 1.0 / l                                       # [LQP, 1]
+        graw = jax.lax.dot_general(                         # dO V^T
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if thresh24 > 0:
+            head = pl.program_id(1) * hpb + j
+            cell = pl.program_id(0) * num_heads + head
+            keep = _keep_mask(e.shape, seed_ref[0], seed_ref[1],
+                              jnp.uint32(cell), thresh24, hw_rng)
+            inv = 1.0 / (1.0 - thresh24 / float(1 << _RATE_BITS))
+            rl = rl0 * inv
+            et = jnp.where(keep, e, 0.0)                    # e~
+            gdrop = jnp.where(keep, graw, 0.0) * inv
+        else:
+            rl = rl0
+            et = e
+            gdrop = graw
+        gs = (g.astype(jnp.float32) * rl).astype(g.dtype)   # [LQP, DHV]
+        dvs.append(jnp.dot(
+            et.astype(g.dtype).T, gs, preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype))
+        d = jnp.sum(et * graw, axis=-1, keepdims=True) * rl  # [LQP, 1]
+        ds = (e * (gdrop - d) * rl0).astype(q.dtype)
+        dqs.append(jnp.dot(
+            ds, k, preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype))
+        dks.append(jnp.dot(
+            ds.T, q, preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype))
+    cat = (lambda xs: xs[0] if hpb == 1
+           else jnp.concatenate(xs, axis=-1))
+    dq_ref[0] = cat(dqs)
+    dk_ref[0] = cat(dks)
+    dv_ref[0] = cat(dvs)
 
 
-def _io_specs(B, H, LQP, LKP, DP, DPV):
+def _heads_per_block(dh: int, dhv: int, n_heads: int) -> int:
+    """Smallest head-group size whose lane width is Mosaic-legal.
+
+    The last block dim must be a multiple of 128 lanes (or the full array
+    width). Returns the smallest hpb with hpb*dh and hpb*dhv both
+    multiples of 128; falls back to all heads (full array width, always
+    legal) when no smaller group divides n_heads.
+    """
+    for hpb in range(1, n_heads):
+        if (hpb * dh) % 128 == 0 and (hpb * dhv) % 128 == 0 \
+                and n_heads % hpb == 0:
+            return hpb
+    return n_heads
+
+
+def _io_specs(B, H, hpb, LQP, LKP, DP, DPV):
+    """Blocks over the model-native [B, L, H*Dh] layout.
+
+    Each (b, hg) grid cell reads a [LQP, hpb*DP] column slice (lane group
+    hg) directly out of the projection output — no
+    [B, L, H, Dh] -> [B, H, L, Dh] transpose ever materializes (those
+    transposes cost several ms/step of copy/slice work at the flagship
+    config). Sublane = L as before; lane = hpb*Dh, sized by
+    _heads_per_block to satisfy hardware Mosaic's 128-lane block rule.
+    """
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     # bias is [B, 1, LKP]; the singleton axis keeps the trailing two block
     # dims equal to the array dims (Mosaic tiling requirement)
     bias_spec = pl.BlockSpec((1, 1, LKP), lambda b, h: (b, 0, 0),
                              memory_space=pltpu.VMEM)
-    q_spec = pl.BlockSpec((1, 1, LQP, DP), lambda b, h: (b, h, 0, 0),
+    q_spec = pl.BlockSpec((1, LQP, hpb * DP), lambda b, h: (b, 0, h),
                           memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, 1, LKP, DP), lambda b, h: (b, h, 0, 0),
+    k_spec = pl.BlockSpec((1, LKP, hpb * DP), lambda b, h: (b, 0, h),
                           memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, 1, LKP, DPV), lambda b, h: (b, h, 0, 0),
+    v_spec = pl.BlockSpec((1, LKP, hpb * DPV), lambda b, h: (b, 0, h),
                           memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, 1, LQP, DPV), lambda b, h: (b, h, 0, 0),
+    o_spec = pl.BlockSpec((1, LQP, hpb * DPV), lambda b, h: (b, 0, h),
                           memory_space=pltpu.VMEM)
     return seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _flash_core(q, k, v, bias, seed, thresh24, interpret):
-    """q [B,H,LQP,DP] (pre-scaled), k/v [B,H,LKP,DP], bias [B,1,LKP] f32,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_core(q, k, v, bias, seed, thresh24, num_heads, interpret):
+    """q [B,LQP,H*DP] (pre-scaled), k/v [B,LKP,H*DP], bias [B,1,LKP] f32,
     seed int32[2]."""
-    return _flash_core_fwd(q, k, v, bias, seed, thresh24, interpret)[0]
+    return _flash_core_fwd(q, k, v, bias, seed, thresh24, num_heads,
+                           interpret)[0]
 
 
-def _flash_core_fwd(q, k, v, bias, seed, thresh24, interpret):
-    B, H, LQP, DP = q.shape
-    LKP = k.shape[2]
-    DPV = v.shape[3]
+def _flash_core_fwd(q, k, v, bias, seed, thresh24, num_heads, interpret):
+    H = num_heads
+    B, LQP, _ = q.shape
+    DP = q.shape[2] // H
+    LKP = k.shape[1]
+    DPV = v.shape[2] // H
+    hpb = _heads_per_block(DP, DPV, H)
     seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec = _io_specs(
-        B, H, LQP, LKP, DP, DPV)
+        B, H, hpb, LQP, LKP, DP, DPV)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, thresh24=thresh24, num_heads=H,
-                          hw_rng=not interpret),
-        grid=(B, H),
+                          hpb=hpb, hw_rng=not interpret),
+        grid=(B, H // hpb),
         in_specs=[seed_spec, bias_spec, q_spec, k_spec, v_spec],
         out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, LQP, DPV), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, LQP, H * DPV), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * LQP * LKP * (2 * DP),
             bytes_accessed=q.size * q.dtype.itemsize * 2
@@ -258,17 +320,20 @@ def _flash_core_fwd(q, k, v, bias, seed, thresh24, interpret):
     return out, (q, k, v, bias, seed)
 
 
-def _flash_core_bwd(thresh24, interpret, res, g):
+def _flash_core_bwd(thresh24, num_heads, interpret, res, g):
     q, k, v, bias, seed = res
-    B, H, LQP, DP = q.shape
-    LKP = k.shape[2]
-    DPV = v.shape[3]
+    H = num_heads
+    B, LQP, _ = q.shape
+    DP = q.shape[2] // H
+    LKP = k.shape[1]
+    DPV = v.shape[2] // H
+    hpb = _heads_per_block(DP, DPV, H)
     seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec = _io_specs(
-        B, H, LQP, LKP, DP, DPV)
+        B, H, hpb, LQP, LKP, DP, DPV)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, thresh24=thresh24, num_heads=H,
-                          hw_rng=not interpret),
-        grid=(B, H),
+                          hpb=hpb, hw_rng=not interpret),
+        grid=(B, H // hpb),
         in_specs=[seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec],
         out_specs=[q_spec, k_spec, v_spec],
         out_shape=[
@@ -342,9 +407,6 @@ def flash_attention(
     # keeps HBM traffic at exactly the tensor sizes — an earlier version
     # padded Dh 64->128 and L 350->384 and spent ~26 ms/step on pad/slice
     # copies plus 2x matmul FLOPs at the flagship config.
-    def to_bhld(x):
-        return jnp.transpose(x, (0, 2, 1, 3))  # [B, H, L, Dh]
-
     if key_mask is None:
         valid = jnp.ones((B, LK), bool)
     else:
@@ -355,6 +417,9 @@ def flash_attention(
     # an [Lq, Lk] multiply pass in-kernel); autodiff rescales dq through
     # this multiply
     q_scaled = q * jnp.asarray(scale, q.dtype)
-    out = _flash_core(to_bhld(q_scaled), to_bhld(k), to_bhld(v), bias,
-                      seed, thresh24, bool(interpret))
-    return jnp.transpose(out, (0, 2, 1, 3))
+    # [B, L, H, Dh] -> [B, L, H*Dh] is a free reshape of contiguous memory;
+    # the kernel block-indexes heads on the lane axis (see _io_specs)
+    out = _flash_core(q_scaled.reshape(B, LQ, H * DH),
+                      k.reshape(B, LK, H * DH), v.reshape(B, LK, H * DV),
+                      bias, seed, thresh24, H, bool(interpret))
+    return out.reshape(B, LQ, H, DV)
