@@ -218,13 +218,18 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_mask=None, deterministic: bool = True):
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        # LN output follows the block dtype; flax computes the mean/var
+        # statistics in float32 regardless (nn._compute_stats upcasts), so
+        # bf16 here only rounds the normalized output once — which the
+        # bf16 projections would do anyway. f32 LN outputs were ~18 ms of
+        # reduce-fusion HBM traffic per flagship step.
+        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
         h = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout, self.dtype, name="attn"
         )(h, h, h, key_mask=key_mask, deterministic=deterministic)
         h = CheapDropout(rate=self.dropout)(h, deterministic=deterministic)
         x = x + h
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
         h = FeedForward(self.dim, self.ffn_dim, self.dropout,
                         self.activation, self.dtype, name="ffn")(
             h, deterministic=deterministic)
@@ -272,7 +277,7 @@ class DecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, memory, tgt_mask=None, memory_mask=None,
                  deterministic: bool = True):
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
         h = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout, self.dtype,
             name="self_attn",
@@ -280,7 +285,7 @@ class DecoderBlock(nn.Module):
         x = x + CheapDropout(rate=self.dropout)(h,
                                                 deterministic=deterministic)
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
         h = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout, self.dtype,
             name="cross_attn",
@@ -289,7 +294,7 @@ class DecoderBlock(nn.Module):
         x = x + CheapDropout(rate=self.dropout)(h,
                                                 deterministic=deterministic)
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln3")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln3")(x)
         h = FeedForward(self.dim, self.ffn_dim, self.dropout,
                         nn.relu, self.dtype, name="ffn")(
             h, deterministic=deterministic)
@@ -339,14 +344,14 @@ class TokenizerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, q, kv, key_mask=None, deterministic: bool = True):
-        qn = nn.LayerNorm(dtype=jnp.float32, name="ln_q")(q)
-        kvn = nn.LayerNorm(dtype=jnp.float32, name="ln_kv")(kv)
+        qn = nn.LayerNorm(dtype=self.dtype, name="ln_q")(q)
+        kvn = nn.LayerNorm(dtype=self.dtype, name="ln_kv")(kv)
         out = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout, self.dtype, name="attn"
         )(qn, kvn, kvn, key_mask=key_mask, deterministic=deterministic)
         q = q + CheapDropout(rate=self.dropout)(out,
                                                 deterministic=deterministic)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_o")(q)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_o")(q)
         h = FeedForward(self.dim, 4 * self.dim, dropout=0.0,
                         activation=nn.gelu, dtype=self.dtype, name="ffn")(
             h, deterministic=deterministic)

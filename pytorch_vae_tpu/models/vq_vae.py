@@ -136,9 +136,9 @@ class VQVAE(nn.Module):
         self.ss_encoder = EncoderStack(
             H, self.num_heads, 2, self.ffn_dim, self.dropout, dtype=dt,
             remat=self.remat, name="ss_encoder")
-        self.enc_ln = nn.LayerNorm(dtype=jnp.float32, name="enc_ln")
-        self.ln_geo = nn.LayerNorm(dtype=jnp.float32, name="ln_geo")
-        self.ln_ss = nn.LayerNorm(dtype=jnp.float32, name="ln_ss")
+        self.enc_ln = nn.LayerNorm(dtype=self.dtype, name="enc_ln")
+        self.ln_geo = nn.LayerNorm(dtype=self.dtype, name="ln_geo")
+        self.ln_ss = nn.LayerNorm(dtype=self.dtype, name="ln_ss")
         # fuse MLP: Linear(2H->H), GELU, Linear(H->H), LayerNorm
         # (models/vq_vae.py:496-502)
         self.fuse_fc1 = nn.Dense(
@@ -147,7 +147,7 @@ class VQVAE(nn.Module):
         self.fuse_fc2 = nn.Dense(
             H, dtype=dt, name="fuse_fc2",
             kernel_init=part(init.xavier_uniform(), ("mlp", "embed")))
-        self.fuse_ln = nn.LayerNorm(dtype=jnp.float32, name="fuse_ln")
+        self.fuse_ln = nn.LayerNorm(dtype=self.dtype, name="fuse_ln")
         self.tokenizer = LatentTokenizer(
             H, int(self.latent_tokens), int(self.tokenizer_heads),
             int(self.tokenizer_layers), float(self.tokenizer_dropout),
@@ -158,7 +158,7 @@ class VQVAE(nn.Module):
         self.from_code = nn.Dense(
             self.hidden_dim, dtype=dt, name="from_code",
             kernel_init=part(init.xavier_uniform(), (None, "embed")))
-        self.mem_ln = nn.LayerNorm(dtype=jnp.float32, name="mem_ln")
+        self.mem_ln = nn.LayerNorm(dtype=self.dtype, name="mem_ln")
         self.decoder = DecoderStack(
             H, self.num_heads, self.num_layers, self.ffn_dim,
             self.dropout, dtype=dt, remat=self.remat, name="decoder")
