@@ -89,6 +89,26 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / TARGET, 4),
     }
+    # secondary: sample (decode-only) throughput — BASELINE.json tracks
+    # "sample imgs/sec" alongside train throughput
+    try:
+        sample = jax.jit(lambda k: model.apply(
+            {"params": params, "batch_stats": batch_stats}, BATCH, k,
+            method=VanillaVAE.sample))
+        skeys = jax.random.split(jax.random.PRNGKey(7), 5 + ITERS)
+        for i in range(5):
+            imgs = sample(skeys[i])
+        float(imgs[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            imgs = sample(skeys[5 + i])
+        float(imgs[0, 0, 0, 0])  # hard sync
+        sdt = (time.perf_counter() - t0) / ITERS
+        record["sample_images_per_sec_chip"] = round(
+            BATCH / sdt / n_chips, 1)
+    except Exception as e:
+        record["sample_error"] = repr(e)[:200]
+
     # secondary: flagship curve VQ-VAE train step, reported as extra keys
     # on the same single JSON line (driver contract: one line)
     try:

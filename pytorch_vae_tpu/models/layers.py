@@ -101,6 +101,7 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     use_flash: Optional[bool] = None
+    use_fused: Optional[bool] = None  # fused QKV block; opt-in, see below
 
     @nn.compact
     def __call__(self, q, k, v, key_mask=None, deterministic: bool = True):
@@ -120,15 +121,82 @@ class MultiHeadAttention(nn.Module):
                 name=name,
             )
 
-        qh = proj("q_proj")(q)  # [B, Lq, H, Dh]
-        kh = proj("k_proj")(k)
-        vh = proj("v_proj")(v)
+        out_mod = nn.DenseGeneral(
+            features=self.dim,
+            axis=(-2, -1),
+            dtype=self.dtype,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.xavier_uniform(), ("heads", "kv", "embed")
+            ),
+            bias_init=nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), ("embed",)
+            ),
+            name="out_proj",
+        )
+        q_mod, k_mod, v_mod = proj("q_proj"), proj("k_proj"), proj("v_proj")
 
         scale = 1.0 / math.sqrt(head_dim)
         use_flash = self.use_flash
         if use_flash is None:
             from pytorch_vae_tpu.ops.flash_attention import flash_enabled
             use_flash = flash_enabled()
+
+        # Self-attention on one tensor can take the fully fused path: QKV
+        # projection + attention + output projection in one Pallas kernel
+        # (ops/fused_qkv_attention.py) — x read once, the four [B, L, E]
+        # q/k/v/o intermediates never touch HBM. Parameters stay the
+        # per-projection DenseGeneral modules (checkpoint/warm-start
+        # layout unchanged); the kernel consumes them concatenated.
+        # OPT-IN ONLY: measured ~4 ms/step slower than flash + XLA
+        # projections at the flagship config (see the kernel docstring),
+        # so the default dispatch keeps it off.
+        use_fused = self.use_fused
+        if use_fused is None:
+            from pytorch_vae_tpu.ops.fused_qkv_attention import (
+                fused_enabled,
+            )
+            use_fused = fused_enabled()
+        if use_fused and q is k and k is v and q.shape[-1] == self.dim:
+            from flax.core import meta as fmeta
+            from pytorch_vae_tpu.ops.fused_qkv_attention import (
+                fused_self_attention,
+            )
+
+            # create the params without paying for an unfused projection
+            dummy = jnp.zeros((1, 1, self.dim), self.dtype)
+            for m in (q_mod, k_mod, v_mod):
+                m(dummy)
+            out_mod(jnp.zeros((1, 1, self.num_heads, head_dim),
+                              self.dtype))
+            pv = self.variables["params"]
+
+            def kern2d(name):
+                w = fmeta.unbox(pv[name]["kernel"])
+                return jnp.asarray(w, self.dtype).reshape(self.dim, -1)
+
+            def bias1d(name):
+                b = fmeta.unbox(pv[name]["bias"])
+                return jnp.asarray(b, self.dtype).reshape(-1)
+
+            wqkv = jnp.concatenate(
+                [kern2d("q_proj"), kern2d("k_proj"), kern2d("v_proj")],
+                axis=1)
+            bqkv = jnp.concatenate(
+                [bias1d("q_proj"), bias1d("k_proj"), bias1d("v_proj")])
+            wo = fmeta.unbox(pv["out_proj"]["kernel"])
+            wo = jnp.asarray(wo, self.dtype).reshape(self.dim, self.dim)
+            bo = bias1d("out_proj")
+            drop = 0.0 if deterministic else float(self.dropout)
+            return fused_self_attention(
+                q, wqkv, bqkv, wo, bo, key_mask=key_mask,
+                num_heads=self.num_heads, scale=scale, dropout_rate=drop,
+                dropout_key=(self.make_rng("dropout") if drop > 0.0
+                             else None),
+            )
+
+        qh = q_mod(q)  # [B, Lq, H, Dh]
+        kh = k_mod(k)
+        vh = v_mod(v)
 
         if use_flash:
             from pytorch_vae_tpu.ops.flash_attention import flash_attention
@@ -151,19 +219,7 @@ class MultiHeadAttention(nn.Module):
                     probs, deterministic=deterministic
                 )
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
-        out = nn.DenseGeneral(
-            features=self.dim,
-            axis=(-2, -1),
-            dtype=self.dtype,
-            kernel_init=nn.with_logical_partitioning(
-                nn.initializers.xavier_uniform(), ("heads", "kv", "embed")
-            ),
-            bias_init=nn.with_logical_partitioning(
-                nn.initializers.zeros_init(), ("embed",)
-            ),
-            name="out_proj",
-        )(out)
-        return out
+        return out_mod(out)
 
 
 class FeedForward(nn.Module):
