@@ -37,6 +37,8 @@ def _register_zoo() -> None:
         from .miwae import MIWAE
         from .betatc_vae import BetaTCVAE
         from .mssim_vae import MSSIMVAE
+        from .dip_vae import DIPVAE
+        from .logcosh_vae import LogCoshVAE
     except ImportError:  # pragma: no cover - zoo not built yet
         return
     vae_models.update({
@@ -47,6 +49,8 @@ def _register_zoo() -> None:
         "MIWAE": MIWAE,
         "BetaTCVAE": BetaTCVAE,
         "MSSIMVAE": MSSIMVAE,
+        "DIPVAE": DIPVAE,
+        "LogCoshVAE": LogCoshVAE,
     })
 
 

@@ -218,3 +218,37 @@ def ms_ssim(a: jnp.ndarray, b: jnp.ndarray, levels: int = 3,
     vals = jnp.stack(vals)
     vals = jnp.clip(vals, 1e-6, 1.0)
     return jnp.prod(vals ** weights)
+
+
+def dip_covariance_penalty(mu: jnp.ndarray, log_var: jnp.ndarray,
+                           lambda_offdiag: float, lambda_diag: float,
+                           dip_type: str = "ii") -> jnp.ndarray:
+    """DIP-VAE disentanglement regularizer (Kumar et al. 2018).
+
+    Penalizes the latent covariance toward identity:
+      type "i":  Cov = Cov_batch[mu]
+      type "ii": Cov = Cov_batch[mu] + E_batch[diag(exp(log_var))]
+    penalty = lambda_offdiag * sum(offdiag(Cov)^2)
+            + lambda_diag * sum((diag(Cov) - 1)^2)
+    """
+    mu = mu.astype(jnp.float32)
+    centered = mu - jnp.mean(mu, axis=0, keepdims=True)
+    cov = centered.T @ centered / mu.shape[0]
+    if dip_type == "ii":
+        cov = cov + jnp.diag(jnp.mean(jnp.exp(
+            log_var.astype(jnp.float32)), axis=0))
+    diag = jnp.diagonal(cov)
+    offdiag_sq = jnp.sum(cov ** 2) - jnp.sum(diag ** 2)
+    return (lambda_offdiag * offdiag_sq
+            + lambda_diag * jnp.sum((diag - 1.0) ** 2))
+
+
+def log_cosh(t: jnp.ndarray, alpha: float = 10.0) -> jnp.ndarray:
+    """Elementwise log(cosh(alpha * t)) / alpha, overflow-safe.
+
+    Uses log cosh x = |x| + log1p(exp(-2|x|)) - log 2, which is exact and
+    never exponentiates a positive argument (naive cosh overflows f32 at
+    alpha*t ~ 90; robust-loss papers run alpha in the 10-100 range).
+    """
+    a = jnp.abs(alpha * t.astype(jnp.float32))
+    return (a + jnp.log1p(jnp.exp(-2.0 * a)) - jnp.log(2.0)) / alpha

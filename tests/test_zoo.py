@@ -91,6 +91,9 @@ def test_betatc_terms_sum_to_kl_in_expectation():
         ("MIWAE", {"num_samples": 2, "num_estimates": 2}),
         ("BetaTCVAE", {}),
         ("MSSIMVAE", {}),
+        ("DIPVAE", {}),
+        ("DIPVAE", {"dip_type": "i"}),
+        ("LogCoshVAE", {"alpha": 100.0}),
     ],
 )
 def test_zoo_model_train_step(name, extra):
@@ -150,3 +153,54 @@ def test_zoo_experiment_fit_smoke(tmp_path):
     assert int(state.step) == 3  # 24 // 8 batches
     samples = exp.sample(2)
     assert samples.shape == (2, 16, 16, 3)
+
+
+def test_log_cosh_matches_torch_oracle():
+    """Overflow-safe log_cosh vs torch.log(torch.cosh(.)) in f64 (small
+    args) and finiteness where naive cosh overflows."""
+    import torch
+
+    rng = np.random.default_rng(3)
+    t = rng.normal(scale=0.5, size=(64,)).astype(np.float64)
+    for alpha in (1.0, 10.0):
+        want = torch.log(torch.cosh(
+            torch.tensor(t) * alpha)).numpy() / alpha
+        got = np.asarray(zl.log_cosh(jnp.asarray(t, jnp.float32), alpha))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # naive cosh overflows f32 beyond |x| ~ 90; ours must stay finite and
+    # asymptote to |t| - log(2)/alpha
+    big = jnp.asarray([50.0, -200.0])
+    got = np.asarray(zl.log_cosh(big, 10.0))
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(
+        got, np.abs(np.asarray(big)) - np.log(2.0) / 10.0, rtol=1e-5)
+
+
+def test_dip_penalty_matches_numpy_oracle():
+    rng = np.random.default_rng(4)
+    mu = rng.normal(size=(32, 6)).astype(np.float32)
+    lv = rng.normal(scale=0.3, size=(32, 6)).astype(np.float32)
+    lam_od, lam_d = 5.0, 10.0
+    c = mu - mu.mean(0, keepdims=True)
+    cov = c.T @ c / mu.shape[0]
+    for dip_type in ("i", "ii"):
+        cov_t = cov + (np.diag(np.exp(lv).mean(0))
+                       if dip_type == "ii" else 0.0)
+        diag = np.diagonal(cov_t)
+        want = (lam_od * ((cov_t ** 2).sum() - (diag ** 2).sum())
+                + lam_d * ((diag - 1.0) ** 2).sum())
+        got = float(zl.dip_covariance_penalty(
+            jnp.asarray(mu), jnp.asarray(lv), lam_od, lam_d, dip_type))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_dip_penalty_zero_at_identity_cov():
+    """Whitened latents with unit total variance: penalty ~ 0 for type ii
+    when Cov[mu] + E[sigma^2] == I."""
+    n, d = 4096, 3
+    rng = np.random.default_rng(5)
+    mu = rng.normal(scale=np.sqrt(0.5), size=(n, d)).astype(np.float32)
+    lv = np.full((n, d), np.log(0.5), np.float32)
+    got = float(zl.dip_covariance_penalty(
+        jnp.asarray(mu), jnp.asarray(lv), 5.0, 10.0, "ii"))
+    assert got < 0.15, got
