@@ -39,6 +39,7 @@ def _register_zoo() -> None:
         from .mssim_vae import MSSIMVAE
         from .dip_vae import DIPVAE
         from .logcosh_vae import LogCoshVAE
+        from .swae import SWAE
     except ImportError:  # pragma: no cover - zoo not built yet
         return
     vae_models.update({
@@ -51,6 +52,7 @@ def _register_zoo() -> None:
         "MSSIMVAE": MSSIMVAE,
         "DIPVAE": DIPVAE,
         "LogCoshVAE": LogCoshVAE,
+        "SWAE": SWAE,
     })
 
 

@@ -252,3 +252,21 @@ def log_cosh(t: jnp.ndarray, alpha: float = 10.0) -> jnp.ndarray:
     """
     a = jnp.abs(alpha * t.astype(jnp.float32))
     return (a + jnp.log1p(jnp.exp(-2.0 * a)) - jnp.log(2.0)) / alpha
+
+
+def sliced_wasserstein(z: jnp.ndarray, prior_z: jnp.ndarray,
+                       key: jax.Array, n_projections: int = 50,
+                       p: int = 2) -> jnp.ndarray:
+    """Sliced Wasserstein-p distance between two batches (SWAE).
+
+    Project both batches onto `n_projections` random unit directions,
+    sort each 1-D projection, and average |sorted_z - sorted_prior|^p —
+    the exact 1-D optimal transport cost per slice. Sorting is the only
+    non-elementwise op, so the whole estimator stays on-device.
+    """
+    d = z.shape[-1]
+    theta = jax.random.normal(key, (d, n_projections), jnp.float32)
+    theta = theta / jnp.linalg.norm(theta, axis=0, keepdims=True)
+    pz = jnp.sort(z.astype(jnp.float32) @ theta, axis=0)
+    pp = jnp.sort(prior_z.astype(jnp.float32) @ theta, axis=0)
+    return jnp.mean(jnp.abs(pz - pp) ** p)

@@ -94,6 +94,7 @@ def test_betatc_terms_sum_to_kl_in_expectation():
         ("DIPVAE", {}),
         ("DIPVAE", {"dip_type": "i"}),
         ("LogCoshVAE", {"alpha": 100.0}),
+        ("SWAE", {"n_projections": 16}),
     ],
 )
 def test_zoo_model_train_step(name, extra):
@@ -204,3 +205,24 @@ def test_dip_penalty_zero_at_identity_cov():
     got = float(zl.dip_covariance_penalty(
         jnp.asarray(mu), jnp.asarray(lv), 5.0, 10.0, "ii"))
     assert got < 0.15, got
+
+
+def test_sliced_wasserstein_properties():
+    """SWD ~ 0 for same-distribution batches; detects a mean shift; and
+    matches a numpy per-slice 1-D OT oracle exactly."""
+    k1, k2, k3, kt = jax.random.split(jax.random.PRNGKey(8), 4)
+    a = jax.random.normal(k1, (256, 8))
+    b = jax.random.normal(k2, (256, 8))
+    c = jax.random.normal(k3, (256, 8)) + 2.0
+    near = float(zl.sliced_wasserstein(a, b, kt, 64))
+    far = float(zl.sliced_wasserstein(a, c, kt, 64))
+    assert far > 10 * near, (near, far)
+
+    # numpy oracle with the same projections
+    d = a.shape[-1]
+    theta = np.asarray(jax.random.normal(kt, (d, 64), jnp.float32))
+    theta = theta / np.linalg.norm(theta, axis=0, keepdims=True)
+    pa = np.sort(np.asarray(a) @ theta, axis=0)
+    pc = np.sort(np.asarray(c) @ theta, axis=0)
+    want = np.mean(np.abs(pa - pc) ** 2)
+    np.testing.assert_allclose(far, want, rtol=1e-5)
