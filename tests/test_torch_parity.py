@@ -239,3 +239,139 @@ def test_quantizer_commit_grad_matches_torch():
     loss_t = ((torch.tensor(zq).detach() - ze_t) ** 2).mean()
     loss_t.backward()
     np.testing.assert_allclose(g_jax, ze_t.grad.numpy(), atol=1e-6)
+
+
+def _encoder_block_params_to_torch(params, layer, E, H):
+    """Copy flax EncoderBlock params into a torch TransformerEncoderLayer.
+
+    flax DenseGeneral computes y = x @ W (+b) with W [in, ...out];
+    torch nn.Linear computes y = x @ W^T (+b) — every kernel transposes.
+    """
+    from flax.core import meta as fmeta
+
+    p = fmeta.unbox(params)
+    sd = layer.state_dict()
+
+    def t(a):
+        return torch.tensor(np.asarray(a, np.float32))
+
+    wq = t(p["attn"]["q_proj"]["kernel"]).reshape(E, E)
+    wk = t(p["attn"]["k_proj"]["kernel"]).reshape(E, E)
+    wv = t(p["attn"]["v_proj"]["kernel"]).reshape(E, E)
+    sd["self_attn.in_proj_weight"] = torch.cat(
+        [wq.T, wk.T, wv.T], dim=0)
+    sd["self_attn.in_proj_bias"] = torch.cat(
+        [t(p["attn"][n]["bias"]).reshape(E) for n in
+         ("q_proj", "k_proj", "v_proj")])
+    sd["self_attn.out_proj.weight"] = \
+        t(p["attn"]["out_proj"]["kernel"]).reshape(E, E).T
+    sd["self_attn.out_proj.bias"] = t(p["attn"]["out_proj"]["bias"])
+    sd["linear1.weight"] = t(p["ffn"]["fc1"]["kernel"]).T
+    sd["linear1.bias"] = t(p["ffn"]["fc1"]["bias"])
+    sd["linear2.weight"] = t(p["ffn"]["fc2"]["kernel"]).T
+    sd["linear2.bias"] = t(p["ffn"]["fc2"]["bias"])
+    sd["norm1.weight"] = t(p["ln1"]["scale"])
+    sd["norm1.bias"] = t(p["ln1"]["bias"])
+    sd["norm2.weight"] = t(p["ln2"]["scale"])
+    sd["norm2.bias"] = t(p["ln2"]["bias"])
+    layer.load_state_dict(sd)
+
+
+def test_encoder_block_matches_torch_transformer_layer():
+    """flax EncoderBlock == torch nn.TransformerEncoderLayer(norm_first)
+    on identical weights — validates attention math, pre-LN placement,
+    ReLU FFN wiring, residuals, and key-padding-mask semantics against
+    the exact torch module the reference stacks
+    (/root/reference/models/vq_vae.py:455-463)."""
+    from pytorch_vae_tpu.models.layers import EncoderBlock
+
+    E, H, FF, B, L = 32, 4, 64, 3, 20
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, L, E), jnp.float32)
+    # True = valid (ours); torch key_padding_mask wants True = pad
+    valid = np.ones((B, L), bool)
+    valid[1, 14:] = False
+    valid[2, 7:] = False
+
+    block = EncoderBlock(E, H, ffn_dim=FF, dropout=0.0)
+    params = block.init(key, x, jnp.asarray(valid), True)["params"]
+    out_jax = np.asarray(block.apply(
+        {"params": params}, x, jnp.asarray(valid), True))
+
+    layer = torch.nn.TransformerEncoderLayer(
+        d_model=E, nhead=H, dim_feedforward=FF, dropout=0.0,
+        activation="relu", batch_first=True, norm_first=True)
+    layer.eval()
+    _encoder_block_params_to_torch(params, layer, E, H)
+    with torch.no_grad():
+        out_t = layer(
+            torch.tensor(np.asarray(x)),
+            src_key_padding_mask=torch.tensor(~valid)).numpy()
+
+    # padded query rows may differ (torch propagates masked-query NaN
+    # defenses differently); the reference itself only consumes valid rows
+    np.testing.assert_allclose(
+        out_jax[valid], out_t[valid], rtol=2e-4, atol=2e-4)
+
+
+def test_decoder_block_matches_torch_transformer_layer():
+    """flax DecoderBlock == torch nn.TransformerDecoderLayer(norm_first)
+    on identical weights — validates self-attn + cross-attn + FFN wiring
+    and memory-mask semantics against the torch module the reference's
+    decoder stacks (/root/reference/models/vq_vae.py:504-528)."""
+    from flax.core import meta as fmeta
+
+    from pytorch_vae_tpu.models.layers import DecoderBlock
+
+    E, H, FF, B, L, M = 32, 4, 64, 2, 15, 6
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (B, L, E), jnp.float32)
+    mem = jax.random.normal(jax.random.PRNGKey(2), (B, M, E), jnp.float32)
+    valid = np.ones((B, L), bool)
+    valid[1, 11:] = False
+
+    block = DecoderBlock(E, H, ffn_dim=FF, dropout=0.0)
+    params = block.init(key, x, mem, jnp.asarray(valid), None, True)[
+        "params"]
+    out_jax = np.asarray(block.apply(
+        {"params": params}, x, mem, jnp.asarray(valid), None, True))
+
+    layer = torch.nn.TransformerDecoderLayer(
+        d_model=E, nhead=H, dim_feedforward=FF, dropout=0.0,
+        activation="relu", batch_first=True, norm_first=True)
+    layer.eval()
+    p = fmeta.unbox(params)
+    sd = layer.state_dict()
+
+    def t(a):
+        return torch.tensor(np.asarray(a, np.float32))
+
+    def load_attn(prefix, ap):
+        wq = t(ap["q_proj"]["kernel"]).reshape(E, E)
+        wk = t(ap["k_proj"]["kernel"]).reshape(E, E)
+        wv = t(ap["v_proj"]["kernel"]).reshape(E, E)
+        sd[f"{prefix}.in_proj_weight"] = torch.cat([wq.T, wk.T, wv.T], 0)
+        sd[f"{prefix}.in_proj_bias"] = torch.cat(
+            [t(ap[n]["bias"]).reshape(E) for n in
+             ("q_proj", "k_proj", "v_proj")])
+        sd[f"{prefix}.out_proj.weight"] = \
+            t(ap["out_proj"]["kernel"]).reshape(E, E).T
+        sd[f"{prefix}.out_proj.bias"] = t(ap["out_proj"]["bias"])
+
+    load_attn("self_attn", p["self_attn"])
+    load_attn("multihead_attn", p["cross_attn"])
+    sd["linear1.weight"] = t(p["ffn"]["fc1"]["kernel"]).T
+    sd["linear1.bias"] = t(p["ffn"]["fc1"]["bias"])
+    sd["linear2.weight"] = t(p["ffn"]["fc2"]["kernel"]).T
+    sd["linear2.bias"] = t(p["ffn"]["fc2"]["bias"])
+    for ours, theirs in (("ln1", "norm1"), ("ln2", "norm2"),
+                         ("ln3", "norm3")):
+        sd[f"{theirs}.weight"] = t(p[ours]["scale"])
+        sd[f"{theirs}.bias"] = t(p[ours]["bias"])
+    layer.load_state_dict(sd)
+    with torch.no_grad():
+        out_t = layer(
+            torch.tensor(np.asarray(x)), torch.tensor(np.asarray(mem)),
+            tgt_key_padding_mask=torch.tensor(~valid)).numpy()
+    np.testing.assert_allclose(
+        out_jax[valid], out_t[valid], rtol=2e-4, atol=2e-4)
