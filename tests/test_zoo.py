@@ -123,16 +123,24 @@ def test_zoo_model_train_step(name, extra):
     assert np.isfinite(gn) and gn > 0
 
 
-def test_zoo_sample_and_generate():
+@pytest.mark.parametrize("name", [
+    "VanillaVAE", "BetaVAE", "WAE_MMD", "IWAE", "MIWAE", "BetaTCVAE",
+    "MSSIMVAE", "DIPVAE", "LogCoshVAE", "SWAE",
+])
+def test_zoo_sample_and_generate(name):
+    """Every registry model exposes the BaseVAE surface the reference
+    defines (models/base.py:5-28): sample(n, key) -> [n, H, W, C] in the
+    tanh range and generate(x) -> reconstruction of x's shape."""
     from pytorch_vae_tpu.models import vae_models
 
-    model = vae_models["VanillaVAE"](**_TINY)
+    model = vae_models[name](**_TINY)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (2, 16, 16, 3)) * 2 - 1
     variables = model.init({"params": key, "reparam": key}, x, train=False)
     samples = model.apply(variables, 3, key, method="sample")
     assert samples.shape == (3, 16, 16, 3)
-    recon = model.apply(variables, x, method="generate")
+    recon = model.apply(variables, x, method="generate",
+                        rngs={"reparam": key})
     assert recon.shape == x.shape
     assert float(jnp.max(jnp.abs(samples))) <= 1.0  # tanh head
 
