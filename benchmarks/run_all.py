@@ -148,6 +148,17 @@ ZOO_CONFIGS = (
     ("configs/wae_mmd_imq.yaml", "WAE-MMD (IMQ)"),
     ("configs/iwae.yaml", "IWAE K=5"),
     ("configs/miwae.yaml", "MIWAE K=5 M=3"),
+    # round-3 zoo completion (remaining upstream-README rows)
+    ("configs/cvae.yaml", "ConditionalVAE"),
+    ("configs/cat_vae.yaml", "CategoricalVAE"),
+    ("configs/joint_vae.yaml", "JointVAE"),
+    ("configs/info_vae.yaml", "InfoVAE"),
+    ("configs/dfc_vae.yaml", "DFCVAE"),
+    ("configs/betatc_vae.yaml", "BetaTCVAE"),
+    ("configs/mssim_vae.yaml", "MSSIMVAE"),
+    ("configs/dip_vae.yaml", "DIPVAE"),
+    ("configs/logcosh_vae.yaml", "LogCoshVAE"),
+    ("configs/swae.yaml", "SWAE"),
 )
 
 

@@ -40,6 +40,11 @@ def _register_zoo() -> None:
         from .dip_vae import DIPVAE
         from .logcosh_vae import LogCoshVAE
         from .swae import SWAE
+        from .conditional_vae import ConditionalVAE
+        from .cat_vae import CategoricalVAE
+        from .joint_vae import JointVAE
+        from .info_vae import InfoVAE
+        from .dfc_vae import DFCVAE
     except ImportError:  # pragma: no cover - zoo not built yet
         return
     vae_models.update({
@@ -53,6 +58,11 @@ def _register_zoo() -> None:
         "DIPVAE": DIPVAE,
         "LogCoshVAE": LogCoshVAE,
         "SWAE": SWAE,
+        "ConditionalVAE": ConditionalVAE,
+        "CategoricalVAE": CategoricalVAE,
+        "JointVAE": JointVAE,
+        "InfoVAE": InfoVAE,
+        "DFCVAE": DFCVAE,
     })
 
 

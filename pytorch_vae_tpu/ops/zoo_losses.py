@@ -85,16 +85,21 @@ def imq_kernel(a: jnp.ndarray, b: jnp.ndarray, latent_var: float = 2.0,
 
 
 def mmd(z: jnp.ndarray, prior_z: jnp.ndarray, kernel_type: str = "imq",
-        latent_var: float = 2.0) -> jnp.ndarray:
-    """Unbiased MMD^2 between the aggregate posterior and the prior.
+        latent_var: float = 2.0, biased: bool = False) -> jnp.ndarray:
+    """MMD^2 between the aggregate posterior and the prior.
 
-    Diagonal terms are excluded from the same-set averages (U-statistic).
+    Default is the U-statistic (diagonal terms excluded from the same-set
+    averages). ``biased=True`` keeps the diagonals (V-statistic) — the
+    convention the upstream InfoVAE loss uses, where each kernel mean runs
+    over all N^2 pairs.
     """
     kern = rbf_kernel if kernel_type == "rbf" else imq_kernel
     n = z.shape[0]
     k_zz = kern(z, z, latent_var)
     k_pp = kern(prior_z, prior_z, latent_var)
     k_zp = kern(z, prior_z, latent_var)
+    if biased:
+        return (jnp.mean(k_zz) + jnp.mean(k_pp) - 2.0 * jnp.mean(k_zp))
     off = 1.0 - jnp.eye(n, dtype=k_zz.dtype)
     denom = jnp.maximum(n * (n - 1), 1)
     return (
@@ -252,6 +257,115 @@ def log_cosh(t: jnp.ndarray, alpha: float = 10.0) -> jnp.ndarray:
     """
     a = jnp.abs(alpha * t.astype(jnp.float32))
     return (a + jnp.log1p(jnp.exp(-2.0 * a)) - jnp.log(2.0)) / alpha
+
+
+# ---------------------------------------------------------------------
+# Gumbel-Softmax / categorical latents (Categorical + Joint VAE)
+# ---------------------------------------------------------------------
+def gumbel_softmax(key: jax.Array, logits: jnp.ndarray,
+                   temperature, eps: float = 1e-7) -> jnp.ndarray:
+    """Differentiable categorical relaxation (Jang et al. 2017).
+
+    logits [..., K] -> soft one-hot samples [..., K]:
+    softmax((logits + g) / tau) with g = -log(-log U). `temperature` may
+    be a traced scalar (it is a pure function of the train step here; the
+    upstream zoo mutates `self.temp` in-place on a batch_idx cadence that
+    resets every epoch — an acknowledged stateful quirk this rebuild
+    replaces with the equivalent step-indexed schedule, see
+    anneal_temperature).
+    """
+    u = jax.random.uniform(key, logits.shape, jnp.float32,
+                           minval=eps, maxval=1.0 - eps)
+    g = -jnp.log(-jnp.log(u))
+    return jax.nn.softmax(
+        (logits.astype(jnp.float32) + g) / temperature, axis=-1)
+
+
+def anneal_temperature(step, t0: float = 0.5, anneal_rate: float = 3e-5,
+                       min_temp: float = 0.2):
+    """Gumbel temperature schedule: max(t0 * exp(-rate * step), min_temp).
+
+    The upstream zoo multiplies a live `self.temp` attribute by
+    exp(-rate * batch_idx) every `anneal_interval` batches, with batch_idx
+    resetting each epoch — the effective trajectory depends on epoch
+    length. This pure step-indexed exponential is the intended behavior
+    without the reset artifact (documented deviation).
+    """
+    step = jnp.asarray(step, jnp.float32)
+    return jnp.maximum(t0 * jnp.exp(-anneal_rate * step), min_temp)
+
+
+def categorical_kl(q_probs: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """KL(q || uniform) per sample for categorical posteriors.
+
+    q_probs [B, N, K] (N categorical variables over K classes) ->
+    [B]: sum_{n,k} q log q - q log(1/K), the exact discrete KL the
+    upstream CategoricalVAE/JointVAE losses compute from softmaxed logits.
+    """
+    q = q_probs.astype(jnp.float32)
+    k = q.shape[-1]
+    ent = q * jnp.log(q + eps)
+    cross = q * math.log(1.0 / k)
+    return jnp.sum(ent - cross, axis=(-2, -1))
+
+
+def capacity_schedule(step, min_c: float, max_c: float, num_iter: float):
+    """Linear information-capacity ramp (Burgess et al. 2018; JointVAE):
+    C(step) = min_c + (max_c - min_c) * step / num_iter, clamped at max_c."""
+    step = jnp.asarray(step, jnp.float32)
+    c = min_c + (max_c - min_c) * step / float(num_iter)
+    return jnp.clip(c, min_c, max_c)
+
+
+# ---------------------------------------------------------------------
+# DFC perceptual features
+# ---------------------------------------------------------------------
+def _fixed_pyramid_kernels(in_channels: int,
+                           channels: Tuple[int, ...]) -> list:
+    """Deterministic He-scaled random conv kernels for the feature
+    pyramid. Same kernels every call (constant-folded under jit)."""
+    kernels = []
+    cin = in_channels
+    key = jax.random.PRNGKey(71)
+    for i, cout in enumerate(channels):
+        k = jax.random.fold_in(key, i)
+        w = jax.random.normal(k, (3, 3, cin, cout), jnp.float32)
+        w = w * math.sqrt(2.0 / (9 * cin))
+        kernels.append(w)
+        cin = cout
+    return kernels
+
+
+def feature_pyramid(x: jnp.ndarray,
+                    channels: Tuple[int, ...] = (32, 64, 128)) -> list:
+    """Fixed random strided-conv feature pyramid for perceptual losses.
+
+    The upstream DFC-VAE compares VGG19 feature maps at layers
+    {14, 24, 34}; no pretrained VGG ships in this image (documented
+    deviation), so the perceptual space here is a frozen random conv
+    pyramid — random projections preserve pairwise structure
+    (Johnson-Lindenstrauss) and random-feature perceptual losses are a
+    standard proxy. Three stride-2 stages mirror VGG's multi-scale
+    receptive fields. Returns the per-stage activation list.
+    """
+    feats = []
+    h = x.astype(jnp.float32)
+    for w in _fixed_pyramid_kernels(x.shape[-1], channels):
+        h = jax.lax.conv_general_dilated(
+            h, w, window_strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h = jax.nn.leaky_relu(h, 0.2)
+        feats.append(h)
+    return feats
+
+
+def perceptual_loss(recons: jnp.ndarray, target: jnp.ndarray,
+                    channels: Tuple[int, ...] = (32, 64, 128)) -> jnp.ndarray:
+    """Sum of per-stage feature MSEs (upstream DFC sums MSE over the
+    selected VGG layers). Target features carry no gradient."""
+    fr = feature_pyramid(recons, channels)
+    ft = feature_pyramid(jax.lax.stop_gradient(target), channels)
+    return sum(jnp.mean((a - b) ** 2) for a, b in zip(fr, ft))
 
 
 def sliced_wasserstein(z: jnp.ndarray, prior_z: jnp.ndarray,

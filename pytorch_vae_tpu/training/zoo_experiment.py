@@ -112,7 +112,8 @@ class ZooExperiment:
             getattr(self.model, "in_channels", 3))), jnp.float32)
         k = jax.random.PRNGKey(self.manual_seed)
         variables = self.model.init(
-            {"params": k, "reparam": k, "dropout": k}, dummy, train=False)
+            {"params": k, "reparam": k, "dropout": k}, dummy, train=False,
+            **self._call_kwargs(dummy, 0, k, False))
         params = shard_params(variables["params"], self.mesh)
         batch_stats = variables.get("batch_stats", {})
 
@@ -142,6 +143,23 @@ class ZooExperiment:
         return self.state
 
     # ------------------------------------------------------------------
+    def _call_kwargs(self, x, step, rng, train: bool):
+        """Extra forward kwargs some zoo models need: the global step
+        (Gumbel temperature / capacity schedules) and conditioning labels.
+        No label files ship with this image, so conditional models train
+        on deterministic pseudo-labels drawn from the step PRNG
+        (documented deviation; see models/conditional_vae.py)."""
+        kw = {}
+        if getattr(self.model, "takes_step", False):
+            kw["step"] = step
+        if getattr(self.model, "conditional", False):
+            lk = (jax.random.fold_in(rng, 17) if train
+                  else jax.random.PRNGKey(17))
+            n_cls = int(self.model.num_classes)
+            kw["labels"] = jax.nn.one_hot(
+                jax.random.randint(lk, (x.shape[0],), 0, n_cls), n_cls)
+        return kw
+
     def _loss(self, params, batch_stats, x, step, rng, train: bool):
         variables = {"params": params, "batch_stats": batch_stats}
         rngs = None
@@ -153,7 +171,8 @@ class ZooExperiment:
             loss_key = jax.random.PRNGKey(0)
         out, mutated = self.model.apply(
             variables, x, train=train, rngs=rngs,
-            mutable=["batch_stats"] if train else [])
+            mutable=["batch_stats"] if train else [],
+            **self._call_kwargs(x, step, rng, train))
         ld = self.model.loss(*out, kld_weight=self.kld_weight, step=step,
                              key=loss_key)
         new_bs = mutated.get("batch_stats", batch_stats) if train \

@@ -95,6 +95,12 @@ def test_betatc_terms_sum_to_kl_in_expectation():
         ("DIPVAE", {"dip_type": "i"}),
         ("LogCoshVAE", {"alpha": 100.0}),
         ("SWAE", {"n_projections": 16}),
+        ("ConditionalVAE", {"num_classes": 5}),
+        ("CategoricalVAE", {"categorical_dim": 6}),
+        ("JointVAE", {"categorical_dim": 6}),
+        ("InfoVAE", {"kernel_type": "imq"}),
+        ("InfoVAE", {"kernel_type": "rbf"}),
+        ("DFCVAE", {"feature_channels": (8, 16)}),
     ],
 )
 def test_zoo_model_train_step(name, extra):
@@ -126,6 +132,7 @@ def test_zoo_model_train_step(name, extra):
 @pytest.mark.parametrize("name", [
     "VanillaVAE", "BetaVAE", "WAE_MMD", "IWAE", "MIWAE", "BetaTCVAE",
     "MSSIMVAE", "DIPVAE", "LogCoshVAE", "SWAE",
+    "ConditionalVAE", "CategoricalVAE", "JointVAE", "InfoVAE", "DFCVAE",
 ])
 def test_zoo_sample_and_generate(name):
     """Every registry model exposes the BaseVAE surface the reference
@@ -234,3 +241,222 @@ def test_sliced_wasserstein_properties():
     pc = np.sort(np.asarray(c) @ theta, axis=0)
     want = np.mean(np.abs(pa - pc) ** 2)
     np.testing.assert_allclose(far, want, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------
+# Round-3 zoo extensions: Categorical / Joint / Info / Conditional / DFC
+# ---------------------------------------------------------------------
+def test_gumbel_softmax_is_simplex_and_sharpens():
+    """Samples lie on the simplex; low temperature concentrates mass on
+    the argmax; and the argmax frequencies follow softmax(logits) exactly
+    (the Gumbel-max property, temperature-independent)."""
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray([[2.0, 0.0, -1.0, 0.5]])
+    s = zl.gumbel_softmax(key, jnp.tile(logits, (8192, 1)), 1.0)
+    np.testing.assert_allclose(np.asarray(jnp.sum(s, -1)), 1.0, rtol=1e-5)
+    freq = np.bincount(np.asarray(jnp.argmax(s, -1)), minlength=4) / 8192
+    want = np.asarray(jax.nn.softmax(logits[0]))
+    np.testing.assert_allclose(freq, want, atol=0.02)
+    cold = zl.gumbel_softmax(key, jnp.tile(logits, (512, 1)), 0.05)
+    assert float(jnp.mean(jnp.max(cold, -1))) > 0.95
+
+
+def test_categorical_kl_matches_torch_oracle():
+    """categorical_kl vs the upstream CategoricalVAE formula computed in
+    torch: sum q*log(q+eps) - q*log(1/K)."""
+    import torch
+
+    rng = np.random.default_rng(1)
+    q_logits = rng.normal(size=(8, 5, 7)).astype(np.float32)
+    q = torch.softmax(torch.tensor(q_logits), dim=-1)
+    eps = 1e-7
+    h1 = q * torch.log(q + eps)
+    h2 = q * np.log(1.0 / 7)
+    want = torch.sum(h1 - h2, dim=(1, 2)).numpy()
+    got = np.asarray(zl.categorical_kl(
+        jax.nn.softmax(jnp.asarray(q_logits), axis=-1)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_categorical_kl_zero_at_uniform():
+    q = jnp.full((3, 4, 8), 1.0 / 8)
+    np.testing.assert_allclose(
+        np.asarray(zl.categorical_kl(q)), 0.0, atol=1e-5)
+
+
+def test_anneal_temperature_schedule():
+    t0, rate, mn = 0.5, 3e-5, 0.2
+    assert float(zl.anneal_temperature(0, t0, rate, mn)) == pytest.approx(t0)
+    mid = float(zl.anneal_temperature(10000, t0, rate, mn))
+    assert mid == pytest.approx(t0 * np.exp(-rate * 10000), rel=1e-5)
+    assert float(zl.anneal_temperature(10**7, t0, rate, mn)) == \
+        pytest.approx(mn)
+
+
+def test_capacity_schedule_linear_and_clamped():
+    c = zl.capacity_schedule
+    assert float(c(0, 0.0, 25.0, 25000)) == 0.0
+    assert float(c(12500, 0.0, 25.0, 25000)) == pytest.approx(12.5)
+    assert float(c(10**6, 0.0, 25.0, 25000)) == 25.0
+
+
+def test_biased_mmd_matches_numpy_oracle():
+    """biased=True keeps diagonals (the upstream InfoVAE V-statistic):
+    mean(Kzz) + mean(Kpp) - 2*mean(Kzp) with the IMQ scale ladder."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    z = np.asarray(jax.random.normal(k1, (32, 6)))
+    p = np.asarray(jax.random.normal(k2, (32, 6)))
+
+    def imq(a, b, latent_var=2.0):
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        out = np.zeros_like(d2)
+        for s in (0.1, 0.2, 0.5, 1.0, 2.0, 5.0, 10.0):
+            c = 2.0 * a.shape[-1] * latent_var * s
+            out += c / (c + d2)
+        return out
+
+    want = imq(z, z).mean() + imq(p, p).mean() - 2 * imq(z, p).mean()
+    got = float(zl.mmd(jnp.asarray(z), jnp.asarray(p), "imq", biased=True))
+    # f32 expanded-norm distances vs f64 numpy broadcast differences
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_info_vae_loss_composite_weighting():
+    """InfoVAE.loss reassembles beta*recons + (1-alpha)*w*KL +
+    (alpha+reg-1)*MMD from its own reported components."""
+    from pytorch_vae_tpu.models import vae_models
+
+    model = vae_models["InfoVAE"](**_TINY, alpha=-0.5, beta=5.0,
+                                  reg_weight=100.0)
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (8, 16, 16, 3)) * 2 - 1
+    variables = model.init({"params": key, "reparam": key}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    ld = model.loss(*out, kld_weight=0.01, key=key)
+    want = (5.0 * float(ld["Reconstruction_Loss"])
+            + (1.0 - (-0.5)) * 0.01 * float(ld["KLD"])
+            + (-0.5 + 100.0 - 1.0) * float(ld["MMD"]))
+    assert float(ld["loss"]) == pytest.approx(want, rel=1e-5)
+
+
+def test_joint_vae_capacity_loss_oracle():
+    """JointVAE.loss vs a numpy replication of the capacity objective at
+    a mid-schedule step (incl. the log(K) clamp on the discrete side)."""
+    from pytorch_vae_tpu.models import vae_models
+
+    model = vae_models["JointVAE"](**_TINY, categorical_dim=6,
+                                   disc_max_capacity=5.0,
+                                   disc_num_iter=1000,
+                                   cont_max_capacity=25.0,
+                                   cont_num_iter=1000)
+    key = jax.random.PRNGKey(4)
+    x = jax.random.uniform(key, (4, 16, 16, 3)) * 2 - 1
+    variables = model.init({"params": key, "reparam": key}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    step = 500
+    ld = model.loss(*out, kld_weight=0.02, step=step)
+    recons, _, mu, log_var, q = [np.asarray(o) for o in out]
+    mse = np.mean((recons - np.asarray(x)) ** 2)
+    ckl = np.mean(-0.5 * np.sum(
+        1 + log_var - mu**2 - np.exp(log_var), axis=-1))
+    qp = np.exp(q) / np.exp(q).sum(-1, keepdims=True)
+    dkl = np.mean(np.sum(qp * np.log(qp + 1e-7) - qp * np.log(1 / 6), -1))
+    c_cont = 25.0 * step / 1000
+    c_disc = min(5.0 * step / 1000, np.log(6))
+    want = (30.0 * mse + 0.02 * (30.0 * abs(ckl - c_cont)
+                                 + 30.0 * abs(dkl - c_disc)))
+    assert float(ld["loss"]) == pytest.approx(want, rel=1e-4)
+
+
+def test_dfc_feature_loss_properties():
+    """Perceptual loss: exactly zero on identical images, positive and
+    increasing with perturbation, deterministic across calls."""
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 16, 16, 3)) * 2 - 1
+    zero = float(zl.perceptual_loss(x, x, (8, 16)))
+    assert zero == 0.0
+    n1 = x + 0.1 * jax.random.normal(jax.random.PRNGKey(6), x.shape)
+    n2 = x + 0.5 * jax.random.normal(jax.random.PRNGKey(6), x.shape)
+    l1 = float(zl.perceptual_loss(n1, x, (8, 16)))
+    l2 = float(zl.perceptual_loss(n2, x, (8, 16)))
+    assert 0 < l1 < l2
+    assert float(zl.perceptual_loss(n1, x, (8, 16))) == l1
+
+
+def test_conditional_vae_label_conditions_output():
+    """Same image, different labels -> different posterior and different
+    decode of the same z (both paths actually consume the label)."""
+    from pytorch_vae_tpu.models import vae_models
+
+    model = vae_models["ConditionalVAE"](**_TINY, num_classes=4)
+    key = jax.random.PRNGKey(7)
+    x = jax.random.uniform(key, (2, 16, 16, 3)) * 2 - 1
+    y0 = jax.nn.one_hot(jnp.zeros((2,), jnp.int32), 4)
+    y1 = jax.nn.one_hot(jnp.ones((2,), jnp.int32), 4)
+    variables = model.init({"params": key, "reparam": key}, x, labels=y0,
+                           train=False)
+    mu0, _ = model.apply(variables, x, y0, method="encode")
+    mu1, _ = model.apply(variables, x, y1, method="encode")
+    assert float(jnp.max(jnp.abs(mu0 - mu1))) > 1e-6
+    z = jax.random.normal(key, (2, model.latent_dim))
+    d0 = model.apply(variables, z, y0, method="decode")
+    d1 = model.apply(variables, z, y1, method="decode")
+    assert float(jnp.max(jnp.abs(d0 - d1))) > 1e-6
+
+
+def test_categorical_vae_temperature_follows_step():
+    """The forward's Gumbel relaxation actually consumes the step-indexed
+    temperature: with identical rng, late steps (colder) give sharper
+    relaxed codes than step 0."""
+    from pytorch_vae_tpu.models import vae_models
+
+    model = vae_models["CategoricalVAE"](**_TINY, categorical_dim=6)
+    key = jax.random.PRNGKey(8)
+    x = jax.random.uniform(key, (4, 16, 16, 3)) * 2 - 1
+    variables = model.init({"params": key, "reparam": key}, x, train=False)
+    q = model.apply(variables, x, method="encode")
+    t_hot = zl.anneal_temperature(0, model.temperature, model.anneal_rate,
+                                  model.min_temp)
+    t_cold = zl.anneal_temperature(10**7, model.temperature,
+                                   model.anneal_rate, model.min_temp)
+    s_hot = zl.gumbel_softmax(key, q, t_hot)
+    s_cold = zl.gumbel_softmax(key, q, t_cold)
+    assert float(jnp.mean(jnp.max(s_cold, -1))) > \
+        float(jnp.mean(jnp.max(s_hot, -1)))
+
+
+def test_conditional_zoo_experiment_fit_smoke(tmp_path):
+    """ConditionalVAE end-to-end through ZooExperiment: pseudo-label
+    threading (init + train step + eval) and sampling all work."""
+    from pytorch_vae_tpu.training.zoo_experiment import ZooExperiment
+
+    exp = ZooExperiment(
+        {"name": "ConditionalVAE", "in_channels": 3, "latent_dim": 8,
+         "num_classes": 4, "hidden_dims": (8, 16), "image_size": 16},
+        {"LR": 1e-3, "manual_seed": 0, "kld_weight": 0.005,
+         "print_every": 0, "save_samples": False,
+         "checkpoint_dir": str(tmp_path / "ck")},
+        {"img_size": 16, "train_batch_size": 8, "val_batch_size": 8,
+         "synthetic_size": 16},
+        {"max_epochs": 1}, verbose=False)
+    state = exp.fit(max_epochs=1, log_dir=str(tmp_path / "logs"))
+    assert int(state.step) == 2
+    assert exp.sample(2).shape == (2, 16, 16, 3)
+
+
+def test_step_conditioned_zoo_experiment_fit_smoke(tmp_path):
+    """CategoricalVAE through ZooExperiment: the global step threads into
+    the forward (Gumbel temperature schedule) without retracing."""
+    from pytorch_vae_tpu.training.zoo_experiment import ZooExperiment
+
+    exp = ZooExperiment(
+        {"name": "CategoricalVAE", "in_channels": 3, "latent_dim": 8,
+         "categorical_dim": 4, "hidden_dims": (8, 16), "image_size": 16},
+        {"LR": 1e-3, "manual_seed": 0, "kld_weight": 0.005,
+         "print_every": 0, "save_samples": False,
+         "checkpoint_dir": str(tmp_path / "ck")},
+        {"img_size": 16, "train_batch_size": 8, "val_batch_size": 8,
+         "synthetic_size": 16},
+        {"max_epochs": 1}, verbose=False)
+    state = exp.fit(max_epochs=1, log_dir=str(tmp_path / "logs"))
+    assert int(state.step) == 2
+    assert exp.sample(2).shape == (2, 16, 16, 3)
