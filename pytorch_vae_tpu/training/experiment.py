@@ -255,7 +255,19 @@ class VQVAEExperiment:
                   f"epoch={int(self.state.epoch)})")
             return
         ws = warm_start_ckpt or self._warm_start_ckpt
-        if ws and os.path.exists(ws):
+        if ws and os.path.isfile(ws):
+            # a FILE is a foreign torch/Lightning checkpoint (orbax saves
+            # directories): route through the state_dict key mapper with
+            # the reference's prefix-strip/quantizer-drop/shape-filter
+            # semantics (training/torch_interop.py)
+            from .torch_interop import warm_start_from_torch
+
+            merged, kept, skipped = warm_start_from_torch(
+                ws, self.state.params)
+            params = shard_params(merged, self.mesh)
+            self.state = self.state.replace(
+                params=params, opt_state=self.tx.init(params))
+        elif ws and os.path.exists(ws):
             merged, kept, skipped = warm_start_params(ws, self.state.params)
             params = shard_params(merged, self.mesh)
             # fresh optimizer state for the new params (warm start != resume)

@@ -209,6 +209,11 @@ def torch_state_dict_to_flax(
     shape filter, strict=False merge (missing keys keep fresh init).
     Returns (merged_params, kept_paths, skipped_paths).
     """
+    from flax.core import meta as fmeta
+
+    # live train-state params are unboxed; raw model.init params carry
+    # Partitioned boxes — normalize so paths line up either way
+    template_params = fmeta.unbox(template_params)
     sd = {k: _to_np(v) for k, v in strip_model_prefix(sd).items()}
     cand: Dict[str, np.ndarray] = {}
     for k, v in sd.items():
