@@ -176,3 +176,114 @@ def test_native_filter_matches_numpy_fallback():
             assert filtering.segment_clash_count(coords, 1.3, 1, 5) == s_nat
         finally:
             filtering._native_lib = saved
+
+
+# ---------------------------------------------------------------------
+# Sharded-correctness equivalence (VERDICT r2 item 2): same global batch,
+# same rng -> mesh(1,1), mesh(8,1) data-parallel, and mesh(4,2)
+# data+tensor-parallel must agree on loss, grad-norm, updated params, and
+# the EMA codebook. This is the correctness bar the finiteness-only test
+# above does not clear (a missed psum / wrong sharded mean would pass it).
+# ---------------------------------------------------------------------
+def _flagship_step_diag(data_dir, mesh, batch):
+    exp = _mk_exp(data_dir)
+    exp.mesh = mesh
+    exp.setup()
+    exp.init_state(steps_per_epoch=3, max_epochs=2)
+    step = exp.make_train_step()
+    w = exp._dynamic_weights(0)
+    x, mask = batch
+    xb, mb = exp._put(x, mask)
+    state, ld = step(exp.state, xb, mb, w, exp._base_rng)
+    return {
+        "loss": float(ld["loss"]),
+        "grad_norm": float(ld["grad_norm"]),
+        "params": jax.device_get(state.params),
+        "emb": np.asarray(state.vq_state.embedding),
+    }
+
+
+# Parameters whose gradients are MATHEMATICALLY ZERO get pure
+# floating-point cancellation noise as their "gradient", which Adam
+# normalizes up to ~lr-scale updates that legitimately differ with
+# reduction order (device count). Two such classes exist here:
+#   - attention k_proj biases: adding a constant to every key shifts all
+#     scores of a query row equally, and softmax is shift-invariant;
+#   - conv biases directly followed by BatchNorm: the BN mean subtraction
+#     cancels any bias shift exactly.
+# These leaves are compared with a loose lr-scale atol; everything else
+# must match tightly.
+_ZERO_GRAD_PATTERNS = ("k_proj']['bias", "ConvBlock", "DeconvBlock")
+
+
+def _assert_tree_close(a, b, rtol, atol, what):
+    for (pa, la), (_, lb) in zip(
+            jax.tree_util.tree_flatten_with_path(a)[0],
+            jax.tree_util.tree_flatten_with_path(b)[0]):
+        ks = jax.tree_util.keystr(pa)
+        zero_grad = any(p in ks for p in _ZERO_GRAD_PATTERNS) \
+            and "bias" in ks
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=rtol,
+            atol=4e-3 if zero_grad else atol,
+            err_msg=f"{what}: {ks}")
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_sharded_equivalence_flagship(data_dir, dp, tp):
+    exp0 = _mk_exp(data_dir, mesh=make_mesh(data=1, model=1,
+                                            devices=jax.devices()[:1]))
+    exp0.setup()
+    batch = next(iter(exp0.train_loader))
+    ref = _flagship_step_diag(
+        data_dir, make_mesh(data=1, model=1, devices=jax.devices()[:1]),
+        batch)
+    got = _flagship_step_diag(data_dir, make_mesh(data=dp, model=tp),
+                              batch)
+    assert got["loss"] == pytest.approx(ref["loss"], rel=2e-4)
+    assert got["grad_norm"] == pytest.approx(ref["grad_norm"], rel=2e-3)
+    _assert_tree_close(got["params"], ref["params"], 2e-3, 2e-5,
+                       f"params dp={dp} tp={tp}")
+    np.testing.assert_allclose(got["emb"], ref["emb"], rtol=2e-3,
+                               atol=2e-5)
+
+
+def _zoo_step_diag(mesh, batch):
+    from pytorch_vae_tpu.parallel.sharding import batch_sharding, replicated
+    from pytorch_vae_tpu.training.zoo_experiment import ZooExperiment
+
+    exp = ZooExperiment(
+        {"name": "VanillaVAE", "in_channels": 3, "latent_dim": 8,
+         "hidden_dims": (8, 16), "image_size": 16},
+        {"LR": 1e-3, "manual_seed": 0, "kld_weight": 0.005,
+         "print_every": 0},
+        {"img_size": 16, "train_batch_size": 8, "synthetic_size": 16},
+        {"max_epochs": 1}, mesh=mesh, verbose=False)
+    exp.setup()
+    exp.init_state()
+    step = exp.make_train_step()
+    n_data = mesh.devices.shape[0]
+    sh = batch_sharding(mesh) if batch.shape[0] % n_data == 0 \
+        else replicated(mesh)
+    xb = jax.device_put(jnp.asarray(batch), sh)
+    state, ld = step(exp.state, xb, exp._base_rng)
+    return {"loss": float(ld["loss"]),
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats)}
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_sharded_equivalence_zoo_batchnorm(dp, tp):
+    """BatchNorm statistics must be GLOBAL-batch under sharding (the conv
+    stack's stated contract) — replica-local stats would diverge here."""
+    from pytorch_vae_tpu.data.images import SyntheticImages
+
+    batch = np.stack([SyntheticImages(8, 16, seed=0)[i] for i in range(8)])
+    ref = _zoo_step_diag(make_mesh(data=1, model=1,
+                                   devices=jax.devices()[:1]), batch)
+    got = _zoo_step_diag(make_mesh(data=dp, model=tp), batch)
+    assert got["loss"] == pytest.approx(ref["loss"], rel=2e-4)
+    _assert_tree_close(got["params"], ref["params"], 2e-3, 2e-5,
+                       f"zoo params dp={dp} tp={tp}")
+    _assert_tree_close(got["batch_stats"], ref["batch_stats"], 2e-3, 2e-5,
+                       f"zoo batch_stats dp={dp} tp={tp}")
