@@ -1,0 +1,322 @@
+"""CLI smoke coverage for every scripts/* entry point (VERDICT r2 #7).
+
+Each test drives a script's real __main__ against the shared tiny trained
+checkpoint (conftest.tiny_ckpt) and asserts exit + output artifacts, so
+no script can silently rot. The chain mirrors the real pipeline:
+
+    extract_ae_latents -> kmeans_codebook / train_ot_potential
+                       -> sample_with_aeot_omt / decode_latents_to_npy
+    extract_code_indices -> compute_ze_stats / decode_with_vqvae
+    decoded curves -> filter_curves / npy_to_pdb / visualize_curves
+    raw curves -> probe_one_curve / interpolate_latent / inference /
+                  read_one_npy / analysis tools
+"""
+
+import json
+import os
+import runpy
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from conftest import TINY_MODEL as MODEL
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_script(relpath, argv):
+    old = sys.argv
+    sys.argv = [os.path.basename(relpath)] + argv
+    try:
+        runpy.run_path(os.path.join(REPO, "scripts", relpath),
+                       run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+@pytest.fixture(scope="module")
+def arts(tiny_ckpt, tmp_path_factory):
+    """Shared derived artifacts: latent bank + code-index export."""
+    cfg, ckpt = tiny_ckpt
+    root = tmp_path_factory.mktemp("cli_arts")
+    bank = str(root / "bank.npz")
+    run_script("extract_ae_latents.py", [
+        "--config", cfg, "--ckpt", ckpt, "--out", bank,
+        "--batch_size", "4", "--split", "train"])
+    codes = str(root / "codes")
+    run_script("extract_code_indices.py", [
+        "--config", cfg, "--ckpt", ckpt, "--out_dir", codes,
+        "--batch_size", "4", "--split", "val"])
+    with open(cfg) as f:
+        data_dir = yaml.safe_load(f)["data_params"]["npy_dir"]
+    curves = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".npy"))
+    return {"cfg": cfg, "ckpt": ckpt, "bank": bank, "codes": codes,
+            "curves": curves, "root": root}
+
+
+def test_extract_ae_latents_bank(arts):
+    d = dict(np.load(arts["bank"], allow_pickle=True))
+    n_tok, cd = MODEL["latent_tokens"], MODEL["code_dim"]
+    assert d["latents"].ndim == 2 and d["latents"].shape[1] == n_tok * cd
+    assert d["lengths"].shape[0] == d["latents"].shape[0]
+    assert np.isfinite(d["mean"]).all() and (d["std"] > 0).all()
+
+
+def test_extract_code_indices_manifest(arts):
+    man = os.path.join(arts["codes"], "manifest.jsonl")
+    recs = [json.loads(x) for x in open(man)]
+    assert recs
+    r = recs[0]
+    idx = np.load(os.path.join(arts["codes"], r["indices_path"]))
+    assert idx.shape == (MODEL["latent_tokens"] * MODEL["num_quantizers"],)
+
+
+def test_kmeans_codebook(arts, tmp_path):
+    out = str(tmp_path / "cent.npy")
+    run_script("kmeans_codebook.py", [
+        "--latents", arts["bank"], "--out", out, "--codes", "8",
+        "--levels", str(MODEL["num_quantizers"]),
+        "--code_dim", str(MODEL["code_dim"]), "--iters", "3"])
+    C = np.load(out)
+    assert C.shape[-1] == MODEL["code_dim"] and np.isfinite(C).all()
+
+
+@pytest.fixture(scope="module")
+def potential(arts):
+    out = str(arts["root"] / "h.npz")
+    run_script("train_ot_potential.py", [
+        "--features", arts["bank"], "--out", out, "--iters", "10",
+        "--batch", "128", "--source", "uniform01"])
+    return out
+
+
+def test_train_ot_potential(arts, potential):
+    h = np.load(potential)["h"]
+    n = np.load(arts["bank"])["latents"].shape[0]
+    assert h.shape == (n,) and np.isfinite(h).all()
+
+
+def test_sample_with_aeot_omt(arts, potential, tmp_path):
+    out = str(tmp_path / "omt")
+    run_script("sample_with_aeot_omt.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--features", arts["bank"], "--ot_h", potential,
+        "--out_dir", out, "--num_samples", "64", "--batch_size", "8",
+        "--theta_deg", "60"])
+    files = [f for f in os.listdir(out) if f.endswith(".npy")]
+    if files:  # angle filter may keep zero pairs on a tiny bank
+        c = np.load(os.path.join(out, files[0]), allow_pickle=True).item()
+        assert "curve_coords" in c
+
+
+@pytest.fixture(scope="module")
+def decoded_dir(arts):
+    out = str(arts["root"] / "decoded")
+    run_script("decode_latents_to_npy.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--latents", arts["bank"], "--out_dir", out, "--batch_size", "4"])
+    return out
+
+
+def test_decode_latents_to_npy(decoded_dir):
+    files = [f for f in os.listdir(decoded_dir) if f.endswith(".npy")]
+    assert files
+    c = np.load(os.path.join(decoded_dir, files[0]), allow_pickle=True)
+    arr = c.item()["curve_coords"] if c.dtype == object else c
+    assert np.isfinite(np.asarray(arr, np.float32)).all()
+
+
+def test_decode_with_vqvae_from_indices(arts, tmp_path):
+    out = str(tmp_path / "dec_idx")
+    run_script("decode_with_vqvae.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--manifest", os.path.join(arts["codes"], "manifest.jsonl"),
+        "--base_dir", arts["codes"], "--out_dir", out,
+        "--batch_size", "4"])
+    assert [f for f in os.listdir(out) if f.endswith(".npy")]
+
+
+def test_decode_with_vqvae_from_latents(arts, tmp_path):
+    out = str(tmp_path / "dec_lat")
+    run_script("decode_with_vqvae.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--manifest", os.path.join(arts["codes"], "manifest.jsonl"),
+        "--base_dir", arts["codes"], "--out_dir", out,
+        "--from_latents", "--quantize_latents", "--batch_size", "4"])
+    assert [f for f in os.listdir(out) if f.endswith(".npy")]
+
+
+def test_compute_ze_stats(arts, tmp_path):
+    out = str(tmp_path / "ze_stats.npz")
+    run_script("compute_ze_stats.py", [
+        "--manifest", os.path.join(arts["codes"], "manifest.jsonl"),
+        "--base_dir", arts["codes"], "--out", out,
+        "--key", "latents_path"])
+    d = np.load(out)
+    assert np.isfinite(d["mean"]).all() and np.isfinite(d["std"]).all()
+
+
+def test_filter_curves(decoded_dir, tmp_path):
+    out = str(tmp_path / "filt")
+    run_script("filter_curves.py", [
+        "--recon_dir", decoded_dir, "--out_dir", out,
+        "--min_length", "2"])
+    # reject counters + manifest exist regardless of keep-rate
+    assert os.path.isdir(out)
+
+
+def test_probe_one_curve(arts, tmp_path):
+    plot = str(tmp_path / "probe.png")
+    run_script("probe_one_curve.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--curve", arts["curves"][0], "--plot", plot])
+    assert os.path.isfile(plot)
+
+
+def test_interpolate_latent(arts, tmp_path):
+    out = str(tmp_path / "interp")
+    run_script("interpolate_latent.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--curve_a", arts["curves"][0], "--curve_b", arts["curves"][1],
+        "--out_dir", out, "--steps", "3"])
+    assert len([f for f in os.listdir(out) if f.endswith(".npy")]) >= 3
+
+
+def test_inference_sample_and_reconstruct(arts, tmp_path):
+    out_s = str(tmp_path / "inf_sample")
+    run_script("inference.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--mode", "sample", "--out", out_s, "--num", "2",
+        "--length", "24"])
+    assert len(os.listdir(out_s)) >= 2
+    out_r = str(tmp_path / "inf_recon")
+    run_script("inference.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--mode", "reconstruct",
+        "--in", os.path.dirname(arts["curves"][0]),
+        "--out", out_r, "--limit", "2"])
+    assert os.listdir(out_r)
+
+
+def test_npy_to_pdb(arts, tmp_path):
+    out = str(tmp_path / "pdbs")  # --out is a directory
+    run_script("npy_to_pdb.py", ["--in", arts["curves"][0], "--out", out])
+    pdbs = [f for f in os.listdir(out) if f.endswith(".pdb")]
+    assert len(pdbs) == 1
+    text = open(os.path.join(out, pdbs[0])).read()
+    assert "ATOM" in text and " CA " in text
+
+
+def test_visualize_curves(arts, tmp_path):
+    out = str(tmp_path / "viz")  # --out is a directory
+    run_script("visualize_curves.py", [
+        "--in", arts["curves"][0], "--out", out])
+    assert [f for f in os.listdir(out) if f.endswith(".png")]
+
+
+def test_read_one_npy(arts, capsys):
+    run_script("read_one_npy.py", [arts["curves"][0]])
+    assert "curve_coords" in capsys.readouterr().out
+
+
+# -- analysis tools without prior coverage --
+def test_analysis_convert_curve_format(arts, tmp_path):
+    out = str(tmp_path / "conv.npy")
+    run_script("analysis/convert_curve_format.py", [
+        "--in", arts["curves"][0], "--out", out])
+    arr = np.load(out, allow_pickle=True)
+    assert arr is not None
+
+
+def test_analysis_export_ze_tokens(arts, tmp_path):
+    out = str(tmp_path / "ze_shards")
+    run_script("analysis/export_ze_tokens.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--out_dir", out, "--batch_size", "4", "--split", "val"])
+    assert os.listdir(out)
+
+
+def test_analysis_latent_regions(arts, tmp_path):
+    out = str(tmp_path / "regions.json")
+    run_script("analysis/latent_regions.py", [
+        "--latents", arts["bank"], "--clusters", "3", "--out", out])
+    assert os.path.isfile(out)
+
+
+def test_analysis_reconstruct_dataset(arts, tmp_path):
+    out = str(tmp_path / "recon_ds")
+    run_script("analysis/reconstruct_dataset.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--out_dir", out, "--split", "val", "--batch_size", "4"])
+    assert os.listdir(out)
+
+
+# -- round-3 playground ports --
+@pytest.fixture(scope="module")
+def atlas_cache(arts):
+    out = str(arts["root"] / "atlas")
+    run_script("analysis/latent_atlas.py", [
+        "--latents", arts["bank"], "--out", out, "--method", "pca"])
+    return os.path.join(out, "atlas.npz")
+
+
+def test_analysis_island_paths(atlas_cache, tmp_path):
+    out = str(tmp_path / "island.txt")
+    run_script("analysis/island_paths.py", [
+        "--cache", atlas_cache, "--n_clusters", "2", "--out", out])
+    lines = [x for x in open(out) if not x.startswith("#")]
+    assert lines  # a left island always exists
+
+
+def test_analysis_cache_report(atlas_cache, tmp_path):
+    out = str(tmp_path / "report")
+    run_script("analysis/cache_report.py", [
+        "--cache", atlas_cache, "--out", out, "--clusters", "3",
+        "--highlight", "10", "40"])
+    adir = os.path.join(out, "analysis")
+    files = os.listdir(adir)
+    assert "plain.png" in files and "clusters.png" in files
+    assert "cluster_summary.txt" in files
+    summary = open(os.path.join(adir, "cluster_summary.txt")).read()
+    assert "cluster 0" in summary
+
+
+def test_analysis_probe_overlay(atlas_cache, tmp_path):
+    # base-only render straight from the atlas cache
+    out = str(tmp_path / "overlay_base.png")
+    run_script("analysis/probe_overlay.py", [
+        "--npz", atlas_cache, "--proj", "any", "--out", out, "--density"])
+    assert os.path.isfile(out)
+    # reference-style cache with probe groups
+    rng = np.random.default_rng(0)
+    cache2 = str(tmp_path / "probe_cache.npz")
+    np.savez(cache2, base_umap_2d=rng.normal(size=(200, 2)),
+             probe_umap_2d=rng.normal(size=(6, 2)),
+             probe_groups=np.asarray([0, 0, 1, 1, 2, 2]),
+             probe_names=np.asarray(["a", "a", "b", "b", "c", "c"]))
+    out2 = str(tmp_path / "overlay_probe.png")
+    run_script("analysis/probe_overlay.py", [
+        "--npz", cache2, "--proj", "umap", "--out", out2, "--legend"])
+    assert os.path.isfile(out2)
+
+
+def test_analysis_length_stats(arts, tmp_path):
+    from pytorch_vae_tpu.serving.pdb_utils import write_pdb_ca_trace
+
+    pdb_dir = tmp_path / "pdbs"
+    pdb_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        xyz = np.cumsum(rng.normal(size=(20 + i, 3)), axis=0) * 3.8
+        (pdb_dir / f"m{i}.pdb").write_text(write_pdb_ca_trace(xyz))
+    curve_dir = os.path.dirname(arts["curves"][0])
+    out = str(tmp_path / "lens")
+    run_script("analysis/length_stats.py", [
+        "--dirs", str(pdb_dir), curve_dir, "--out", out])
+    stats = json.load(open(os.path.join(out, "length_stats.json")))
+    assert stats["pdbs"]["n"] == 3
+    assert os.path.isfile(os.path.join(out, "length_hist.png"))
