@@ -51,8 +51,14 @@ def load_curve_npy(path: str) -> Tuple[np.ndarray, np.ndarray]:
         data = data.item()
 
     if isinstance(data, dict):
-        coords = np.asarray(data["curve_coords"], np.float32)
-        ss = np.asarray(data["ss_one_hot"], np.float32)
+        try:
+            coords = np.asarray(data["curve_coords"], np.float32)
+            ss = np.asarray(data["ss_one_hot"], np.float32)
+        except KeyError as e:
+            raise ValueError(
+                f"Curve dict at {path} is missing key {e.args[0]!r}; "
+                f"expected 'curve_coords'/'ss_one_hot', found "
+                f"{sorted(data)[:8]}") from None
     else:
         arr = np.asarray(data, np.float32)
         if arr.ndim != 2 or arr.shape[1] not in (4, 6):

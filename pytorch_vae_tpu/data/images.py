@@ -52,6 +52,10 @@ class ImageDataset:
             keep = files[len(files) - n_val:]
         else:
             raise ValueError(f"split must be train|val, got {split!r}")
+        if not keep:
+            raise FileNotFoundError(
+                f"Split {split!r} of {data_dir} is empty "
+                f"({len(files)} file(s) total; 95/5 split)")
         self.files: List[str] = [os.path.join(data_dir, f) for f in keep]
 
     def __len__(self) -> int:

@@ -28,7 +28,11 @@ class SWAE(WAE_MMD):
         recons_loss = jnp.mean(
             (recons.astype(jnp.float32) - x.astype(jnp.float32)) ** 2)
         if key is None:
-            key = jax.random.PRNGKey(0)
+            # a fixed key would freeze the random projections and prior
+            # sample across steps, silently biasing the SW estimator
+            raise ValueError(
+                "SWAE.loss requires a PRNG key (random slice directions "
+                "+ prior draw); ZooExperiment threads one automatically")
         kp, kt = jax.random.split(key)
         prior_z = jax.random.normal(kp, z.shape, jnp.float32)
         swd = zl.sliced_wasserstein(z, prior_z, kt, self.n_projections,
