@@ -98,7 +98,11 @@ class ConvDecoder(nn.Module):
         x = DeconvBlock(dims[-1], dtype=self.dtype)(x, train=train)
         x = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="final_conv")(x)
-        return nn.tanh(x.astype(jnp.float32))
+        # tanh in the compute dtype: under bf16 the [B, H, W, C] output is
+        # the decoder's dominant HBM write (15x per image for MIWAE);
+        # loss reductions upcast to f32 at the consumer, so only the
+        # stored activation narrows, not the loss math
+        return nn.tanh(x)
 
 
 def encoder_output_dim(hidden_dims: Sequence[int], image_size: int) -> Tuple[int, int]:

@@ -199,6 +199,11 @@ class MultiHeadAttention(nn.Module):
         vh = v_mod(v)
 
         if use_flash:
+            from pytorch_vae_tpu.ops.flash_attention import flash_min_kv
+            if kh.shape[1] < flash_min_kv():
+                use_flash = False  # short-memory: einsum beats the
+                # pallas boundary copies (see flash_attention.flash_min_kv)
+        if use_flash:
             from pytorch_vae_tpu.ops.flash_attention import flash_attention
             drop = 0.0 if deterministic else float(self.dropout)
             out = flash_attention(

@@ -77,6 +77,24 @@ def flash_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Minimum key/value length for the Pallas path. Every pallas_call edge
+# costs a layout copy (XLA's surrounding fusions prefer batch-minor
+# {0,2,1} layouts, profile r2: ~10 ms/step total); for short-memory
+# attention (cross-attn over N=64 latent tokens) the XLA einsum path has
+# no boundary and a small probability tensor, so the kernel can lose on
+# copies alone. 0 = always use flash when enabled.
+_FLASH_MIN_KV: int = 0
+
+
+def set_flash_min_kv(n: int) -> None:
+    global _FLASH_MIN_KV
+    _FLASH_MIN_KV = int(n)
+
+
+def flash_min_kv() -> int:
+    return _FLASH_MIN_KV
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
