@@ -33,6 +33,36 @@ Dtype = jnp.dtype
 
 _MASK_BIAS = -1e30
 
+# Flatten transformer-block Dense ops to 2-D [B*L, E] matmuls. XLA:TPU
+# lowers >2-D dots through its convolution machinery, whose fusions
+# prefer batch-minor ({0,2,1}) layouts — every pallas_call edge then pays
+# a layout-conversion copy (r3 profile: ~10.4 ms/step, one 0.148 ms copy
+# per kernel output, already at copy roofline). MEASURED (r3 TPU A/B):
+# flattening ALL block denses to 2-D kills the copies but loses 45 ms
+# (170.2 vs 125.6 ms) — the conv-form fusions are that much faster than
+# plain 2-D matmuls, so the copies are cheap rent. Modes kept for
+# regression benching: "off" (default), "all", "out_proj" (only the
+# kernel-output consumer).
+_DENSE2D: str = "off"
+
+
+def set_dense2d(value) -> None:
+    global _DENSE2D
+    if value is True:
+        value = "all"
+    if value is False:
+        value = "off"
+    assert value in ("off", "all", "out_proj"), value
+    _DENSE2D = value
+
+
+def dense2d_enabled(site: str = "all") -> bool:
+    if _DENSE2D == "off":
+        return False
+    if _DENSE2D == "all":
+        return True
+    return site == _DENSE2D
+
 
 def sinusoidal_pos_enc(max_len: int, dim: int,
                        dtype: Dtype = jnp.float32) -> jnp.ndarray:
@@ -194,9 +224,17 @@ class MultiHeadAttention(nn.Module):
                              else None),
             )
 
-        qh = q_mod(q)  # [B, Lq, H, Dh]
-        kh = k_mod(k)
-        vh = v_mod(v)
+        if dense2d_enabled("qkv"):
+            # project on flattened [B*L, E] (see _DENSE2D note above)
+            def p2(mod, x):
+                y = mod(x.reshape(-1, x.shape[-1]))
+                return y.reshape(x.shape[:-1] + y.shape[-2:])
+
+            qh, kh, vh = p2(q_mod, q), p2(k_mod, k), p2(v_mod, v)
+        else:
+            qh = q_mod(q)  # [B, Lq, H, Dh]
+            kh = k_mod(k)
+            vh = v_mod(v)
 
         if use_flash:
             from pytorch_vae_tpu.ops.flash_attention import flash_min_kv
@@ -224,6 +262,9 @@ class MultiHeadAttention(nn.Module):
                     probs, deterministic=deterministic
                 )
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
+        if dense2d_enabled("out_proj"):
+            y = out_mod(out.reshape((-1,) + out.shape[-2:]))
+            return y.reshape(out.shape[:-2] + (self.dim,))
         return out_mod(out)
 
 
@@ -238,6 +279,9 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        lead = x.shape[:-1]
+        if dense2d_enabled("ffn"):  # see _DENSE2D note at module top
+            x = x.reshape(-1, x.shape[-1])
         h = nn.Dense(
             self.hidden,
             dtype=self.dtype,
@@ -264,6 +308,8 @@ class FeedForward(nn.Module):
             ),
             name="fc2",
         )(h)
+        if dense2d_enabled("ffn"):
+            h = h.reshape(lead + (self.dim,))
         return h
 
 

@@ -262,17 +262,44 @@ def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
     dv_ref[0] = cat(dvs)
 
 
-def _heads_per_block(dh: int, dhv: int, n_heads: int) -> int:
-    """Smallest head-group size whose lane width is Mosaic-legal.
+_HPB_OVERRIDE: Optional[int] = None
+
+
+def set_hpb_override(value: Optional[int]) -> None:
+    """Force the head-group size (bench knob; None = auto-minimal)."""
+    global _HPB_OVERRIDE
+    _HPB_OVERRIDE = value
+
+
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom of the ~16 MB VMEM
+
+
+def _heads_per_block(dh: int, dhv: int, n_heads: int,
+                     lq: int = 0, lk: int = 0) -> int:
+    """LARGEST Mosaic-legal head-group size that fits the VMEM budget.
 
     The last block dim must be a multiple of 128 lanes (or the full array
-    width). Returns the smallest hpb with hpb*dh and hpb*dhv both
-    multiples of 128; falls back to all heads (full array width, always
-    legal) when no smaller group divides n_heads.
+    width), so hpb*dh and hpb*dhv must be multiples of 128. Bigger groups
+    amortize per-grid-cell overhead: at the flagship config hpb=8 (one
+    cell per batch row) measured 121.6 ms/step vs 125.2 at the minimal
+    hpb=2 (benchmarks/hpb_ab.json, r3). VMEM estimate per cell: the four
+    [L, hpb*D] bf16 blocks + one transient [LQ, LK] f32 score matrix.
     """
-    for hpb in range(1, n_heads):
-        if (hpb * dh) % 128 == 0 and (hpb * dhv) % 128 == 0 \
-                and n_heads % hpb == 0:
+    def legal(hpb):
+        return (n_heads % hpb == 0 and (hpb * dh) % 128 == 0
+                and (hpb * dhv) % 128 == 0)
+
+    def fits(hpb):
+        if not lq or not lk:
+            return True
+        blocks = 2 * (lq * hpb * dh + lk * hpb * (dh + dhv)
+                      + lq * hpb * dhv)
+        return blocks + 4 * lq * lk < _VMEM_BUDGET
+
+    if _HPB_OVERRIDE is not None and legal(_HPB_OVERRIDE):
+        return _HPB_OVERRIDE
+    for hpb in range(n_heads, 0, -1):
+        if legal(hpb) and fits(hpb):
             return hpb
     return n_heads
 
@@ -317,7 +344,7 @@ def _flash_core_fwd(q, k, v, bias, seed, thresh24, num_heads, interpret):
     DP = q.shape[2] // H
     LKP = k.shape[1]
     DPV = v.shape[2] // H
-    hpb = _heads_per_block(DP, DPV, H)
+    hpb = _heads_per_block(DP, DPV, H, LQP, LKP)
     seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec = _io_specs(
         B, H, hpb, LQP, LKP, DP, DPV)
     out = pl.pallas_call(
@@ -345,7 +372,7 @@ def _flash_core_bwd(thresh24, num_heads, interpret, res, g):
     DP = q.shape[2] // H
     LKP = k.shape[1]
     DPV = v.shape[2] // H
-    hpb = _heads_per_block(DP, DPV, H)
+    hpb = _heads_per_block(DP, DPV, H, LQP, LKP)
     seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec = _io_specs(
         B, H, hpb, LQP, LKP, DP, DPV)
     dq, dk, dv = pl.pallas_call(
