@@ -19,3 +19,36 @@ optionally on the "model" axis); XLA inserts all collectives.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (opt-out: PVT_NO_COMPILE_CACHE=1).
+
+    On this image every TPU compile round-trips a remote compiler
+    (100-300 s for the flagship step; even the tiny OT top-2 scan paid
+    ~270 s, r3 measurement) and NOTHING was cached across processes —
+    every CLI invocation re-paid it. The persistent cache serializes
+    executables to disk so reruns of any script (bench, extraction,
+    generation, serving workers) skip compilation entirely. Backends
+    that cannot serialize executables make jax skip caching with a
+    warning — harmless.
+    """
+    import os
+
+    if os.environ.get("PVT_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/pvt_jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # never block import on cache plumbing
+        pass
+
+
+_enable_compilation_cache()

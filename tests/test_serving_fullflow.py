@@ -110,7 +110,11 @@ def test_summary_parsed(flow):
     _base, _tid, task = flow
     s = task["summary"]
     assert "reject_counts" in s and "timing_sec" in s
-    assert s["total_decoded"] == 6
+    # the tiny 24-point bank may yield fewer than n_generate unique OT
+    # pairs (seed-scheme dependent); decoded = min(n_generate, candidates)
+    assert s["total_decoded"] == min(
+        6, s["ot_candidates_after_angle_unique"])
+    assert s["total_decoded"] >= 2
 
 
 def test_curve_listing_and_detail_by_name_and_index(flow):
