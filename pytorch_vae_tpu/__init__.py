@@ -37,6 +37,11 @@ def _enable_compilation_cache() -> None:
 
     if os.environ.get("PVT_NO_COMPILE_CACHE") == "1":
         return
+    # CPU compiles are fast and XLA:CPU AOT entries embed machine-feature
+    # sets that may not match the loading host (cpu_aot_loader warns of
+    # possible SIGILL) — the cache only pays off for device backends.
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        return
     try:
         import jax
 
