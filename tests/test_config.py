@@ -69,3 +69,30 @@ def test_term_ever_active():
     assert term_ever_active(base, {"pdm_weight": [[0, 0.0], [10, 0.1]]},
                             "pdm_weight")
     assert term_ever_active({"pdm_weight": 0.2}, {}, "pdm_weight")
+
+
+def test_every_shipped_config_parses_and_schedules_evaluate():
+    """Every configs/*.yaml loads through the real loader with the four
+    reference sections present, and any epoch schedules interpolate to
+    finite floats across their whole range (guards new configs like the
+    round-3 fine-tune continuations)."""
+    import glob
+    import math
+    import os
+
+    from pytorch_vae_tpu import config as cfglib
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "*.yaml")))
+    assert len(paths) >= 25
+    for p in paths:
+        cfg = cfglib.load_yaml(p)
+        for section in ("model_params", "data_params", "exp_params",
+                        "trainer_params"):
+            assert section in cfg, f"{p}: missing {section}"
+        schedules = cfg["exp_params"].get("schedules", {}) or {}
+        max_ep = int(cfg["trainer_params"].get("max_epochs", 1))
+        for key, knots in schedules.items():
+            for ep in (0, max_ep // 2, max_ep, max_ep + 10):
+                v = cfglib.interpolate_schedule({key: knots}, ep)[key]
+                assert math.isfinite(float(v)), f"{p}: {key} at {ep}"
