@@ -48,8 +48,13 @@ class LossStatics:
     kappa: bool = False
     tau: bool = False
     lr_pdm: bool = False
+    repulsion: bool = False
     # margin (Angstrom) of the min-bond hinge (extension; see bond term)
     bond_hinge_margin: float = 2.5
+    # pairwise-repulsion hinge (extension; see pairwise_repulsion_loss):
+    # defaults mirror the AE-OT filter's self-collision check
+    repulsion_min_dist: float = 2.0
+    repulsion_exclude: int = 2
     # static window geometry (experiment.py:317-318 rounds these to ints)
     pdm_window: int = 8
     win_kabsch_size: int = 16
@@ -224,6 +229,42 @@ def long_range_pdm_loss(
     return jnp.mean(per_pair)
 
 
+def pairwise_repulsion_loss(
+    xyz: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    min_dist: float,
+    neighbor_exclude: int,
+) -> jnp.ndarray:
+    """Squared hinge on all non-neighbor pairs closer than `min_dist`.
+
+    Framework extension beyond the reference loss set (documented
+    deviation, like the min-bond hinge): the AE-OT filter hard-rejects
+    point self-collisions and segment clashes
+    (pipelines/filtering.py, reference run_aeot_end2end.py:271-613),
+    but no reference loss term penalizes them at training time — after
+    the bond terms converge, collisions dominate the residual rejects
+    (results/aeot_runs/r3_ft2: 61 of 137). This is the training-time
+    counterpart of the filter's `min_pairwise_dist`/`neighbor_exclude`
+    check: mean over valid pairs (|i-j| > exclude, both ends unmasked)
+    of relu(min_dist - d_ij)^2.
+
+    Memory: materializes the [B, L, L, 3] difference tensor (~190 MB
+    f32 transient at flagship B=128, L=350) — acceptable because the
+    term is statically compiled out unless its weight is ever nonzero.
+    """
+    L = xyz.shape[1]
+    diff = xyz[:, :, None, :] - xyz[:, None, :, :]
+    d = safe_norm(diff)  # [B, L, L]; finite grad at coincident points
+    hinge = jnp.maximum(jnp.asarray(min_dist, d.dtype) - d, 0.0) ** 2
+    idx = jnp.arange(L)
+    sep_ok = jnp.abs(idx[:, None] - idx[None, :]) > neighbor_exclude
+    if mask is not None:
+        valid = mask[:, :, None] & mask[:, None, :] & sep_ok[None]
+    else:
+        valid = jnp.broadcast_to(sep_ok[None], hinge.shape)
+    return masked_mean(hinge, valid)
+
+
 def curve_loss(
     recons: jnp.ndarray,
     target: jnp.ndarray,
@@ -385,6 +426,14 @@ def curve_loss(
         if statics.lr_pdm
         else zero
     )
+    geom_repulsion = (
+        pairwise_repulsion_loss(
+            re_xyz_real, mask,
+            statics.repulsion_min_dist, statics.repulsion_exclude,
+        )
+        if statics.repulsion
+        else zero
+    )
 
     total = (
         w["rmsd_weight"] * loss_xyz
@@ -399,6 +448,7 @@ def curve_loss(
         + w["kappa_weight"] * fr_kappa
         + w["tau_weight"] * fr_tau
         + w["lr_pdm_weight"] * geom_lr_pdm
+        + w["repulsion_weight"] * geom_repulsion
     )
 
     # ----- metrics -----
@@ -444,4 +494,6 @@ def curve_loss(
         out["Frenet_Tau"] = jax.lax.stop_gradient(fr_tau)
     if statics.lr_pdm:
         out["Geom_LongRangePDM"] = jax.lax.stop_gradient(geom_lr_pdm)
+    if statics.repulsion:
+        out["Geom_Repulsion"] = jax.lax.stop_gradient(geom_repulsion)
     return out

@@ -158,6 +158,11 @@ class VQVAEExperiment:
             kappa=ever("kappa_weight"),
             tau=ever("tau_weight"),
             lr_pdm=ever("lr_pdm_weight"),
+            repulsion=ever("repulsion_weight"),
+            repulsion_min_dist=float(
+                self.exp_params.get("repulsion_min_dist", 2.0)),
+            repulsion_exclude=int(
+                self.exp_params.get("repulsion_exclude", 2)),
             pdm_window=int(bw["pdm_window"]),
             win_kabsch_size=int(bw["win_kabsch_size"]),
             win_kabsch_stride=int(bw["win_kabsch_stride"]),

@@ -12,6 +12,7 @@ from pytorch_vae_tpu.ops.losses import (
     curve_loss,
     long_range_pdm_loss,
     pairwise_pdm_loss,
+    pairwise_repulsion_loss,
     smoothed_cross_entropy,
     window_kabsch_loss,
 )
@@ -106,10 +107,10 @@ def test_loss_ignores_padded_garbage():
     w = _weights(pdm_weight=0.1, win_kabsch_weight=0.1, lr_pdm_weight=0.1,
                  kappa_weight=0.1, tau_weight=0.1, ss_tv_lambda=0.1,
                  xyz_tv_lambda=0.1, bond_length_weight=0.1,
-                 bond_min_hinge_weight=0.1,
+                 bond_min_hinge_weight=0.1, repulsion_weight=0.1,
                  bond_angle_weight=0.1, dir_weight=0.1, dih_weight=0.1)
     st = _statics(recons.shape[1], pdm=True, win_kabsch=True, kappa=True,
-                  tau=True, lr_pdm=True, ss_tv=True,
+                  tau=True, lr_pdm=True, ss_tv=True, repulsion=True,
                   pdm_window=4, win_kabsch_size=8, win_kabsch_stride=4,
                   lr_min_sep=6, lr_stride=3, lr_max_offsets=3)
     pack = _vq_pack(recons)
@@ -123,6 +124,56 @@ def test_loss_ignores_padded_garbage():
             float(base[k]), float(poisoned[k]), atol=1e-3, rtol=1e-4,
             err_msg=f"term {k} leaked padded values",
         )
+
+
+def test_repulsion_matches_torch_oracle():
+    """pairwise_repulsion_loss vs an independent torch.cdist oracle."""
+    torch = pytest.importorskip("torch")
+    key = jax.random.PRNGKey(11)
+    B, L, min_d, excl = 3, 18, 2.0, 2
+    # cramped coordinates so plenty of pairs violate the margin
+    xyz = jax.random.normal(key, (B, L, 3)) * 0.8
+    mask = jnp.arange(L)[None, :] < jnp.array([L, L - 5, L // 2])[:, None]
+
+    got = float(pairwise_repulsion_loss(xyz, mask, min_d, excl))
+
+    x_t = torch.tensor(np.asarray(xyz, np.float64))
+    m_t = torch.tensor(np.asarray(mask))
+    d = torch.cdist(x_t, x_t)
+    idx = torch.arange(L)
+    sep = (idx[:, None] - idx[None, :]).abs() > excl
+    valid = m_t[:, :, None] & m_t[:, None, :] & sep[None]
+    hinge = (min_d - d).clamp(min=0.0) ** 2
+    want = float(hinge[valid].mean())
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_repulsion_zero_for_spread_curve_and_penalizes_collision():
+    """A well-spread straight chain incurs ~0; folding one point onto a
+    distant one makes the term positive with gradient pushing apart."""
+    L = 16
+    line = jnp.stack([jnp.arange(L, dtype=jnp.float32) * 4.0,
+                      jnp.zeros(L), jnp.zeros(L)], axis=-1)[None]
+    mask = jnp.ones((1, L), bool)
+    assert float(pairwise_repulsion_loss(line, mask, 2.0, 2)) == 0.0
+
+    collided = line.at[0, 10].set(line[0, 2] + 0.1)
+    val, grad = jax.value_and_grad(
+        lambda x: pairwise_repulsion_loss(x, mask, 2.0, 2))(collided)
+    assert float(val) > 0.0
+    assert float(jnp.abs(grad[0, 10]).sum()) > 0.0
+    assert bool(jnp.all(jnp.isfinite(grad)))
+
+
+def test_repulsion_finite_grad_at_coincident_points():
+    """Exactly-coincident non-neighbor points must not NaN the gradient
+    (the safe_norm contract; CLAUDE.md bf16 NaN class)."""
+    L = 12
+    xyz = jnp.zeros((1, L, 3))  # everything coincident
+    mask = jnp.ones((1, L), bool)
+    grad = jax.grad(
+        lambda x: pairwise_repulsion_loss(x, mask, 2.0, 2))(xyz)
+    assert bool(jnp.all(jnp.isfinite(grad)))
 
 
 def test_loss_alignment_blending():
