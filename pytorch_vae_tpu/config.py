@@ -101,6 +101,7 @@ DEFAULT_WEIGHT_KEYS: Dict[str, float] = {
     "tau_weight": 0.0,
     "lr_pdm_weight": 0.0,
     "repulsion_weight": 0.0,
+    "mix_geom_weight": 0.0,
     "pdm_window": 8,
     "win_kabsch_size": 16,
     "win_kabsch_stride": 8,

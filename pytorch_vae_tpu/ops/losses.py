@@ -49,6 +49,15 @@ class LossStatics:
     tau: bool = False
     lr_pdm: bool = False
     repulsion: bool = False
+    # mixup-geometry aux loss (experiment._loss_and_aux): decode convex
+    # combinations of batch latents — the region AE-OT generation
+    # actually samples — and hinge their bonds/collisions. GT-free.
+    mix_geom: bool = False
+    # long-bond hinge margin of the mix_geom term only: interpolated
+    # latents can decode to stretched curves, and the AE-OT filter hard
+    # rejects bonds > 7.5 A (pipelines/filtering.py bond_max_allowed);
+    # 7.0 leaves a trained safety margin below the threshold
+    mix_bond_max_margin: float = 7.0
     # margin (Angstrom) of the min-bond hinge (extension; see bond term)
     bond_hinge_margin: float = 2.5
     # pairwise-repulsion hinge (extension; see pairwise_repulsion_loss):

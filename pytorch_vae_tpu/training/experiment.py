@@ -32,7 +32,9 @@ from .. import config as cfglib
 from ..data.curves import CurveDataset, CurveLoader, default_buckets
 from ..models.quantizer import init_epoch_stats, init_vq_state
 from ..models.vq_vae import VQVAE
-from ..ops.losses import LossStatics, curve_loss
+from ..ops import geometry
+from ..ops.losses import LossStatics, curve_loss, pairwise_repulsion_loss
+from ..ops.masking import masked_mean, pair_mask
 from ..parallel.mesh import make_mesh
 from ..parallel.sharding import batch_sharding, shard_params
 from .checkpoints import (
@@ -159,6 +161,9 @@ class VQVAEExperiment:
             tau=ever("tau_weight"),
             lr_pdm=ever("lr_pdm_weight"),
             repulsion=ever("repulsion_weight"),
+            mix_geom=ever("mix_geom_weight"),
+            mix_bond_max_margin=float(
+                self.exp_params.get("mix_bond_max_margin", 7.0)),
             repulsion_min_dist=float(
                 self.exp_params.get("repulsion_min_dist", 2.0)),
             repulsion_exclude=int(
@@ -311,6 +316,49 @@ class VQVAEExperiment:
             data_mean=None if mean is None else jnp.asarray(mean),
             data_std=None if std is None else jnp.asarray(std),
         )
+        if train and self.statics.mix_geom:
+            # Mixup-geometry aux loss: AE-OT generation decodes CONVEX
+            # COMBINATIONS of bank latents (pipelines/aeot.py, reference
+            # run_aeot_end2end.py:256-265) — a region recon-side geometry
+            # losses never see (measured: r3_ft3 A/B in BASELINE.md).
+            # Decode in-batch latent mixes and hinge the two hard-reject
+            # classes (min-bond, pairwise collision) directly on them.
+            # Mix source is z_q_raw (vq_pack[0]): in AE mode it IS z_e
+            # (models/vq_vae.py:299-300), so gradients reach decoder AND
+            # encoder; in VQ mode it is the hard-quantized vectors —
+            # the space stage-2 generation actually decodes — and only
+            # the decoder gets gradients (the intended regularization).
+            z_e = vq_pack[0]
+            km = jax.random.fold_in(rngs["aug"], 7)
+            kp, ka = jax.random.split(km)
+            bsz = z_e.shape[0]
+            perm = jax.random.permutation(kp, bsz)
+            alpha = jax.random.uniform(ka, (bsz, 1, 1), jnp.float32)
+            z_mix = (alpha * z_e.astype(jnp.float32)
+                     + (1.0 - alpha) * z_e[perm].astype(jnp.float32))
+            dec = self.model.apply({"params": params}, z_mix, m,
+                                   train=False, method="decode")
+            xyz = dec[..., :3].astype(jnp.float32)
+            if std is not None:
+                xyz = xyz * jnp.asarray(std) + (
+                    jnp.asarray(mean) if mean is not None else 0.0)
+            bl = geometry.bond_lengths(xyz)
+            # two-sided: the filter hard-rejects bonds outside
+            # [bond_min_allowed, bond_max_allowed] (pipelines/filtering.py)
+            hinge = (jnp.maximum(
+                self.statics.bond_hinge_margin - bl, 0.0) ** 2
+                + jnp.maximum(
+                    bl - self.statics.mix_bond_max_margin, 0.0) ** 2)
+            mix_bond = masked_mean(hinge, pair_mask(m, 2))
+            mix_rep = pairwise_repulsion_loss(
+                xyz, m, self.statics.repulsion_min_dist,
+                self.statics.repulsion_exclude)
+            ld = dict(ld)
+            ld["Mix_BondHinge"] = jax.lax.stop_gradient(mix_bond)
+            ld["Mix_Repulsion"] = jax.lax.stop_gradient(mix_rep)
+            ld["loss"] = ld["loss"] + jnp.asarray(
+                weights["mix_geom_weight"], jnp.float32) * (mix_bond
+                                                            + mix_rep)
         return ld["loss"], (ld, new_vq, new_ep)
 
     def make_train_step(self):
@@ -433,9 +481,11 @@ class VQVAEExperiment:
                             f"ppl={ld_h['VQ_Perplexity']:.3f} | "
                             f"ss_acc={ld_h['SS_Accuracy']:.3f} | "
                             f"lr={lr:.6f}", flush=True)
-                for k in ("loss", "Reconstruction_Loss_XYZ",
-                          "Reconstruction_Loss_SS", "VQ_Loss", "RMSD_Raw",
-                          "RMSD_Aligned"):
+                agg_keys = ("loss", "Reconstruction_Loss_XYZ",
+                            "Reconstruction_Loss_SS", "VQ_Loss", "RMSD_Raw",
+                            "RMSD_Aligned") + tuple(
+                    k for k in ld if k.startswith("Mix_"))
+                for k in agg_keys:
                     ep_sums[k] = ep_sums.get(k, 0.0) + float(ld[k])
             if nb and is_main:
                 lr = float(self.lr_fn(int(self.state.step)))
