@@ -247,6 +247,20 @@ def test_analysis_latent_regions(arts, tmp_path):
     assert os.path.isfile(out)
 
 
+def test_analysis_bond_band_stats(arts, tmp_path):
+    out = str(tmp_path / "bond_stats.json")
+    run_script("analysis/bond_band_stats.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--split", "val", "--batch_size", "4", "--limit", "8",
+        "--out", out])
+    stats = json.load(open(out))
+    for side in ("decode", "truth"):
+        assert 0.0 <= stats[side]["frac_in_band"] <= 1.0
+        assert np.isfinite(stats[side]["mean"])
+    # truth bonds of the synthetic corpus are ~3.8 A, inside the band
+    assert stats["truth"]["frac_in_band"] > 0.9
+
+
 def test_analysis_reconstruct_dataset(arts, tmp_path):
     out = str(tmp_path / "recon_ds")
     run_script("analysis/reconstruct_dataset.py", [
