@@ -156,6 +156,25 @@ def _exp_rows(s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return e, jnp.sum(e, axis=-1, keepdims=True)
 
 
+# exp(x) lowers on the TPU VPU as exp2(x * log2e) — an extra full-matrix
+# multiply per softmax pass on this VPU-bound kernel. The flash kernels
+# instead take scores already in log2 space (log2e is folded into the
+# host-side q scale and the mask bias, [L, Dh]/[1, Lk] elements instead
+# of [Lq, Lk]) and call exp2 directly. exp2(log2e*x) == exp(x), so every
+# probability-space quantity (P, row sums, dV, D) is unchanged; only the
+# score-gradient picks up d exp2(x)/dx = ln2 * exp2(x), paid as a ln2 on
+# the [LQP, 1] row-scale column in the backward (see _bwd_kernel).
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
+
+def _exp2_rows(s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """_exp_rows for scores pre-scaled by log2e: exp2(s - rowmax), sums."""
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp2(s - m)
+    return e, jnp.sum(e, axis=-1, keepdims=True)
+
+
 def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref,
                 *, thresh24: int, num_heads: int, hpb: int, hw_rng: bool):
     """One (batch, head-group) cell: hpb heads, statically unrolled.
@@ -180,8 +199,8 @@ def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bias                          # [LQP, LKP] f32
-        e, l = _exp_rows(s)
+        ) + bias                          # [LQP, LKP] f32, log2-space
+        e, l = _exp2_rows(s)
         rscale = 1.0 / l                  # [LQP, 1]
         if thresh24 > 0:
             head = pl.program_id(1) * hpb + j
@@ -223,8 +242,8 @@ def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bias
-        e, l = _exp_rows(s)                                 # [LQP, LKP]
+        ) + bias                                            # log2-space
+        e, l = _exp2_rows(s)                                # [LQP, LKP]
         rl0 = 1.0 / l                                       # [LQP, 1]
         graw = jax.lax.dot_general(                         # dO V^T
             g, v, (((1,), (1,)), ((), ())),
@@ -248,7 +267,9 @@ def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
             et.astype(g.dtype).T, gs, preferred_element_type=jnp.float32
         ).astype(dv_ref.dtype))
         d = jnp.sum(et * graw, axis=-1, keepdims=True) * rl  # [LQP, 1]
-        ds = (e * (gdrop - d) * rl0).astype(q.dtype)
+        # ln2: d exp2/dx (scores live in log2 space); folded into the
+        # [LQP, 1] row-scale column, not a full-matrix multiply
+        ds = (e * (gdrop - d) * (rl0 * _LN2)).astype(q.dtype)
         dqs.append(jnp.dot(
             ds, k, preferred_element_type=jnp.float32
         ).astype(dq_ref.dtype))
@@ -456,12 +477,17 @@ def flash_attention(
         valid = jnp.ones((B, LK), bool)
     else:
         valid = key_mask
-    bias = jnp.where(valid, 0.0, _NEG_BIG).astype(jnp.float32)[:, None, :]
+    # bias carries the log2e factor too (scores live in log2 space
+    # in-kernel; see _exp2_rows)
+    bias = jnp.where(valid, 0.0,
+                     _NEG_BIG * _LOG2E).astype(jnp.float32)[:, None, :]
 
-    # fold the score scale into q host-side ([Lq, Dh] elements instead of
-    # an [Lq, Lk] multiply pass in-kernel); autodiff rescales dq through
-    # this multiply
-    q_scaled = q * jnp.asarray(scale, q.dtype)
+    # fold score scale AND log2e into q host-side ([Lq, Dh] elements
+    # instead of two [Lq, Lk] passes in-kernel: the scale multiply and
+    # the exp->exp2 conversion multiply); the multiply runs in f32 so the
+    # combined constant isn't itself rounded to bf16 before it scales q.
+    # autodiff rescales dq through this multiply.
+    q_scaled = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     # [B, L, H, Dh] -> [B, L, H*Dh] is a free reshape of contiguous memory;
     # the kernel block-indexes heads on the lane axis (see _io_specs)
     out = _flash_core(q_scaled.reshape(B, LQ, H * DH),

@@ -58,6 +58,12 @@ class LossStatics:
     # rejects bonds > 7.5 A (pipelines/filtering.py bond_max_allowed);
     # 7.0 leaves a trained safety margin below the threshold
     mix_bond_max_margin: float = 7.0
+    # mix partner selection: False = random in-batch permutation (covers
+    # the whole latent hull), True = nearest in-batch latent (matches
+    # AE-OT generation, which convex-combines OT-NEIGHBOR cells only —
+    # pipelines/aeot.py::sample_extended pairs the top-1 cell with
+    # angularly-close runners-up)
+    mix_nearest: bool = False
     # margin (Angstrom) of the min-bond hinge (extension; see bond term)
     bond_hinge_margin: float = 2.5
     # pairwise-repulsion hinge (extension; see pairwise_repulsion_loss):

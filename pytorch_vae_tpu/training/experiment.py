@@ -164,6 +164,7 @@ class VQVAEExperiment:
             mix_geom=ever("mix_geom_weight"),
             mix_bond_max_margin=float(
                 self.exp_params.get("mix_bond_max_margin", 7.0)),
+            mix_nearest=bool(self.exp_params.get("mix_nearest", False)),
             repulsion_min_dist=float(
                 self.exp_params.get("repulsion_min_dist", 2.0)),
             repulsion_exclude=int(
@@ -332,7 +333,16 @@ class VQVAEExperiment:
             km = jax.random.fold_in(rngs["aug"], 7)
             kp, ka = jax.random.split(km)
             bsz = z_e.shape[0]
-            perm = jax.random.permutation(kp, bsz)
+            if self.statics.mix_nearest:
+                # nearest in-batch latent (excluding self): mirrors the
+                # OT sampler, which only combines neighboring cells
+                zf = z_e.reshape(bsz, -1).astype(jnp.float32)
+                sq = jnp.sum(zf * zf, axis=-1)
+                d2 = sq[:, None] + sq[None, :] - 2.0 * (zf @ zf.T)
+                d2 = d2 + jnp.eye(bsz, dtype=jnp.float32) * 1e30
+                perm = jnp.argmin(d2, axis=-1)
+            else:
+                perm = jax.random.permutation(kp, bsz)
             alpha = jax.random.uniform(ka, (bsz, 1, 1), jnp.float32)
             z_mix = (alpha * z_e.astype(jnp.float32)
                      + (1.0 - alpha) * z_e[perm].astype(jnp.float32))

@@ -66,10 +66,10 @@ def test_mix_geom_aux_loss_trains(data_dir):
     at the primitive level (test_losses.py); this guards the
     experiment-level wiring (training/experiment.py::_loss_and_aux)."""
 
-    def run(extra_sched, model):
+    def run(extra_sched, model, **exp_over):
         sched = {"beta": [[0, 0.001]], **extra_sched}
         exp = VQVAEExperiment(
-            model, dict(EXP, schedules=sched),
+            model, dict(EXP, schedules=sched, **exp_over),
             {"npy_dir": data_dir, "train_list": "train_list.txt",
              "val_list": "val_list.txt", "train_batch_size": 8,
              "val_batch_size": 8, "pad_to_max": True},
@@ -98,6 +98,13 @@ def test_mix_geom_aux_loss_trains(data_dir):
     _, ld_vq = run({"mix_geom_weight": [[0, 0.5]]}, MODEL)
     for k in ("Mix_BondHinge", "Mix_Repulsion"):
         assert k in ld_vq and np.isfinite(float(ld_vq[k])), k
+    # nearest-pair mixing (opt-in): mirrors the OT sampler's
+    # neighbor-only interpolation; must run finite on the AE path
+    exp_nn, ld_nn = run({"mix_geom_weight": [[0, 0.5]]}, ae,
+                        mix_nearest=True)
+    assert exp_nn.statics.mix_nearest
+    for k in ("Mix_BondHinge", "Mix_Repulsion"):
+        assert k in ld_nn and np.isfinite(float(ld_nn[k])), k
     # same seed/data: the aux term must change the post-step params
     # (gradient actually flows through the mix decode pass)
     diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
