@@ -240,8 +240,8 @@ def test_native_filter_matches_numpy_fallback():
 # the EMA codebook. This is the correctness bar the finiteness-only test
 # above does not clear (a missed psum / wrong sharded mean would pass it).
 # ---------------------------------------------------------------------
-def _flagship_step_diag(data_dir, mesh, batch):
-    exp = _mk_exp(data_dir)
+def _flagship_step_diag(data_dir, mesh, batch, **exp_over):
+    exp = _mk_exp(data_dir, **exp_over)
     exp.mesh = mesh
     exp.setup()
     exp.init_state(steps_per_epoch=3, max_epochs=2)
@@ -301,6 +301,30 @@ def test_sharded_equivalence_flagship(data_dir, dp, tp):
                        f"params dp={dp} tp={tp}")
     np.testing.assert_allclose(got["emb"], ref["emb"], rtol=2e-3,
                                atol=2e-5)
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1)])
+def test_sharded_equivalence_mix_geom(data_dir, dp, tp):
+    """The mixup-geometry aux loss permutes/argmins across the GLOBAL
+    batch; under data-parallel sharding that becomes a cross-device
+    gather, which must not change the numbers vs one device."""
+    sched = {"beta": [[0, 0.001]], "mix_geom_weight": [[0, 0.5]]}
+    exp0 = _mk_exp(data_dir, mesh=make_mesh(data=1, model=1,
+                                            devices=jax.devices()[:1]))
+    exp0.setup()
+    batch = next(iter(exp0.train_loader))
+    for over in ({"schedules": sched},
+                 {"schedules": sched, "mix_nearest": True}):
+        ref = _flagship_step_diag(
+            data_dir, make_mesh(data=1, model=1,
+                                devices=jax.devices()[:1]), batch, **over)
+        got = _flagship_step_diag(data_dir, make_mesh(data=dp, model=tp),
+                                  batch, **over)
+        assert got["loss"] == pytest.approx(ref["loss"], rel=2e-4)
+        assert got["grad_norm"] == pytest.approx(ref["grad_norm"],
+                                                 rel=2e-3)
+        _assert_tree_close(got["params"], ref["params"], 2e-3, 2e-5,
+                           f"mix params {over.keys()}")
 
 
 def _zoo_step_diag(mesh, batch):
