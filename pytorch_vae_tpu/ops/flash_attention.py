@@ -48,6 +48,7 @@ which reduces to standard attention backward when p = 0.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -157,15 +158,18 @@ def _exp_rows(s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 # exp(x) lowers on the TPU VPU as exp2(x * log2e) — an extra full-matrix
-# multiply per softmax pass on this VPU-bound kernel. The flash kernels
-# instead take scores already in log2 space (log2e is folded into the
-# host-side q scale and the mask bias, [L, Dh]/[1, Lk] elements instead
-# of [Lq, Lk]) and call exp2 directly. exp2(log2e*x) == exp(x), so every
-# probability-space quantity (P, row sums, dV, D) is unchanged; only the
-# score-gradient picks up d exp2(x)/dx = ln2 * exp2(x), paid as a ln2 on
-# the [LQP, 1] row-scale column in the backward (see _bwd_kernel).
+# multiply per softmax pass on this VPU-bound kernel. With PVT_FLASH_EXP2=1
+# the flash kernels instead take scores already in log2 space (log2e is
+# folded into the host-side q scale and the mask bias, [L, Dh]/[1, Lk]
+# elements instead of [Lq, Lk]) and call exp2 directly. exp2(log2e*x) ==
+# exp(x), so every probability-space quantity (P, row sums, dV, D) is
+# unchanged; only the score-gradient picks up d exp2/dx = ln2 * exp2(x),
+# paid as a ln2 on the [LQP, 1] row-scale column in the backward (see
+# _bwd_kernel). Default OFF until benchmarks/validate_flash_tpu.py has
+# passed on real hardware (the interpreter can't prove Mosaic lowering).
 _LOG2E = 1.4426950408889634
 _LN2 = 0.6931471805599453
+_USE_EXP2 = os.environ.get("PVT_FLASH_EXP2", "0") == "1"
 
 
 def _exp2_rows(s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -199,8 +203,8 @@ def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bias                          # [LQP, LKP] f32, log2-space
-        e, l = _exp2_rows(s)
+        ) + bias                          # [LQP, LKP] f32
+        e, l = (_exp2_rows if _USE_EXP2 else _exp_rows)(s)
         rscale = 1.0 / l                  # [LQP, 1]
         if thresh24 > 0:
             head = pl.program_id(1) * hpb + j
@@ -242,8 +246,8 @@ def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bias                                            # log2-space
-        e, l = _exp2_rows(s)                                # [LQP, LKP]
+        ) + bias
+        e, l = (_exp2_rows if _USE_EXP2 else _exp_rows)(s)  # [LQP, LKP]
         rl0 = 1.0 / l                                       # [LQP, 1]
         graw = jax.lax.dot_general(                         # dO V^T
             g, v, (((1,), (1,)), ((), ())),
@@ -267,9 +271,10 @@ def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
             et.astype(g.dtype).T, gs, preferred_element_type=jnp.float32
         ).astype(dv_ref.dtype))
         d = jnp.sum(et * graw, axis=-1, keepdims=True) * rl  # [LQP, 1]
-        # ln2: d exp2/dx (scores live in log2 space); folded into the
-        # [LQP, 1] row-scale column, not a full-matrix multiply
-        ds = (e * (gdrop - d) * (rl0 * _LN2)).astype(q.dtype)
+        # exp2 mode: d exp2/dx carries ln2 (scores live in log2 space);
+        # folded into the [LQP, 1] row-scale column, not a full matrix
+        ds = (e * (gdrop - d)
+              * (rl0 * _LN2 if _USE_EXP2 else rl0)).astype(q.dtype)
         dqs.append(jnp.dot(
             ds, k, preferred_element_type=jnp.float32
         ).astype(dq_ref.dtype))
@@ -477,17 +482,17 @@ def flash_attention(
         valid = jnp.ones((B, LK), bool)
     else:
         valid = key_mask
-    # bias carries the log2e factor too (scores live in log2 space
-    # in-kernel; see _exp2_rows)
-    bias = jnp.where(valid, 0.0,
-                     _NEG_BIG * _LOG2E).astype(jnp.float32)[:, None, :]
+    # exp2 mode: the bias carries the log2e factor too (scores live in
+    # log2 space in-kernel; see _exp2_rows)
+    neg = _NEG_BIG * _LOG2E if _USE_EXP2 else _NEG_BIG
+    bias = jnp.where(valid, 0.0, neg).astype(jnp.float32)[:, None, :]
 
-    # fold score scale AND log2e into q host-side ([Lq, Dh] elements
-    # instead of two [Lq, Lk] passes in-kernel: the scale multiply and
-    # the exp->exp2 conversion multiply); the multiply runs in f32 so the
-    # combined constant isn't itself rounded to bf16 before it scales q.
-    # autodiff rescales dq through this multiply.
-    q_scaled = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    # fold score scale (and, in exp2 mode, log2e) into q host-side
+    # ([Lq, Dh] elements instead of [Lq, Lk] passes in-kernel); the
+    # multiply runs in f32 so the combined constant isn't itself rounded
+    # to bf16 before it scales q. autodiff rescales dq through this.
+    qmul = scale * _LOG2E if _USE_EXP2 else scale
+    q_scaled = (q.astype(jnp.float32) * qmul).astype(q.dtype)
     # [B, L, H, Dh] -> [B, L, H*Dh] is a free reshape of contiguous memory;
     # the kernel block-indexes heads on the lane axis (see _io_specs)
     out = _flash_core(q_scaled.reshape(B, LQ, H * DH),

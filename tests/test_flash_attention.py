@@ -85,6 +85,32 @@ def test_grad_parity_no_dropout():
                                    err_msg=f"d{name}")
 
 
+def test_exp2_mode_parity(monkeypatch):
+    """PVT_FLASH_EXP2 mode (log2-space scores + exp2; ln2 on the bwd
+    row-scale column) must match the einsum reference exactly like the
+    default exp mode does — fwd, dq, dk, dv, with key padding."""
+    import pytorch_vae_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_USE_EXP2", True)
+    B, LQ, LK, H, DH = 2, 33, 21, 2, 8
+    q, k, v = make_qkv(jax.random.PRNGKey(12), B, LQ, LK, H, DH)
+    mask = jax.random.bernoulli(jax.random.PRNGKey(13), 0.8, (B, LK))
+    out = fa.flash_attention(q, k, v, key_mask=mask)
+    ref = ref_attention(q, k, v, key_mask=mask)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    cot = jax.random.normal(jax.random.PRNGKey(14), (B, LQ, H, DH))
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v, key_mask=mask) * cot)
+
+    g_flash = jax.grad(loss(fa.flash_attention), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(ref_attention), argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(gf, gr, rtol=5e-5, atol=5e-5,
+                                   err_msg=f"exp2 d{name}")
+
+
 def test_dropout_deterministic_in_seed():
     B, LQ, LK, H, DH = 2, 24, 24, 2, 8
     q, k, v = make_qkv(jax.random.PRNGKey(5), B, LQ, LK, H, DH)
