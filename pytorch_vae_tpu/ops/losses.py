@@ -64,6 +64,13 @@ class LossStatics:
     # pipelines/aeot.py::sample_extended pairs the top-1 cell with
     # angularly-close runners-up)
     mix_nearest: bool = False
+    # weight of the per-curve WORST bond violation inside the mix term:
+    # the filter rejects a curve on its single worst bond (min/max over
+    # the curve, pipelines/filtering.py:316-320), so a mean-only hinge
+    # moves the tails slowly (measured: mix_decode_stats showed 99.7%
+    # of mix bonds legal yet ~10% of curves rejected on outliers).
+    # 0.0 = mean-only (the ft4 recipe).
+    mix_max_weight: float = 0.0
     # margin (Angstrom) of the min-bond hinge (extension; see bond term)
     bond_hinge_margin: float = 2.5
     # pairwise-repulsion hinge (extension; see pairwise_repulsion_loss):

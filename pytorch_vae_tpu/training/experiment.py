@@ -165,6 +165,8 @@ class VQVAEExperiment:
             mix_bond_max_margin=float(
                 self.exp_params.get("mix_bond_max_margin", 7.0)),
             mix_nearest=bool(self.exp_params.get("mix_nearest", False)),
+            mix_max_weight=float(
+                self.exp_params.get("mix_max_weight", 0.0)),
             repulsion_min_dist=float(
                 self.exp_params.get("repulsion_min_dist", 2.0)),
             repulsion_exclude=int(
@@ -359,7 +361,16 @@ class VQVAEExperiment:
                 self.statics.bond_hinge_margin - bl, 0.0) ** 2
                 + jnp.maximum(
                     bl - self.statics.mix_bond_max_margin, 0.0) ** 2)
-            mix_bond = masked_mean(hinge, pair_mask(m, 2))
+            bond_m = pair_mask(m, 2)
+            mix_bond = masked_mean(hinge, bond_m)
+            if self.statics.mix_max_weight > 0.0:
+                # per-curve WORST violation: the filter rejects on the
+                # single worst bond, which a mean over ~L bonds dilutes
+                hv = hinge if bond_m is None else jnp.where(
+                    bond_m, hinge, 0.0)
+                worst = jnp.max(hv, axis=-1)                 # [B]
+                mix_bond = mix_bond + (
+                    self.statics.mix_max_weight * jnp.mean(worst))
             mix_rep = pairwise_repulsion_loss(
                 xyz, m, self.statics.repulsion_min_dist,
                 self.statics.repulsion_exclude)

@@ -98,11 +98,14 @@ def test_mix_geom_aux_loss_trains(data_dir):
     _, ld_vq = run({"mix_geom_weight": [[0, 0.5]]}, MODEL)
     for k in ("Mix_BondHinge", "Mix_Repulsion"):
         assert k in ld_vq and np.isfinite(float(ld_vq[k])), k
-    # nearest-pair mixing (opt-in): mirrors the OT sampler's
-    # neighbor-only interpolation; must run finite on the AE path
+    # nearest-pair mixing + per-curve worst-bond term (opt-ins): mirror
+    # the OT sampler's neighbor-only interpolation and the filter's
+    # worst-bond rejection; must run finite on the AE path and the max
+    # term must increase the reported bond hinge
     exp_nn, ld_nn = run({"mix_geom_weight": [[0, 0.5]]}, ae,
-                        mix_nearest=True)
+                        mix_nearest=True, mix_max_weight=1.0)
     assert exp_nn.statics.mix_nearest
+    assert exp_nn.statics.mix_max_weight == 1.0
     for k in ("Mix_BondHinge", "Mix_Repulsion"):
         assert k in ld_nn and np.isfinite(float(ld_nn[k])), k
     # same seed/data: the aux term must change the post-step params
