@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# Outage-tolerant TPU training wrapper.
+#
+# The axon TPU tunnel intermittently drops for minutes-to-hours (one
+# measured outage >5 h; every backend init died UNAVAILABLE). Training
+# checkpoints `last` every epoch, so the safe pattern is: run, and on any
+# non-zero exit re-invoke with --resume_ckpt <ckpt_dir>/last once it
+# exists. This wrapper loops that until the run completes or the attempt
+# budget is exhausted.
+#
+# Usage:
+#   bash scripts/retry_train.sh <config.yaml> <ckpt_dir> <logfile> \
+#       [extra run.py args for the FIRST attempt only, e.g. --warm_start_ckpt ...]
+#
+# Retries always use --resume_ckpt (resume disables warm-start by design,
+# run.py:15-16) so a mid-run crash never re-applies the warm start.
+
+set -u
+CONFIG="$1"; CKPT_DIR="$2"; LOG="$3"; shift 3
+FIRST_ARGS=("$@")
+MAX_ATTEMPTS="${MAX_ATTEMPTS:-30}"
+SLEEP_S="${SLEEP_S:-120}"
+
+for attempt in $(seq 1 "${MAX_ATTEMPTS}"); do
+  if [ -e "${CKPT_DIR}/last" ]; then
+    ARGS=(--resume_ckpt "${CKPT_DIR}/last")
+  else
+    ARGS=("${FIRST_ARGS[@]+"${FIRST_ARGS[@]}"}")
+  fi
+  echo "[retry_train] attempt ${attempt}: python run.py -c ${CONFIG} ${ARGS[*]:-}" >> "${LOG}"
+  python run.py -c "${CONFIG}" "${ARGS[@]+"${ARGS[@]}"}" >> "${LOG}" 2>&1
+  rc=$?
+  if [ $rc -eq 0 ]; then
+    echo "[retry_train] completed on attempt ${attempt}" >> "${LOG}"
+    exit 0
+  fi
+  echo "[retry_train] exit ${rc}; sleeping ${SLEEP_S}s before resume" >> "${LOG}"
+  sleep "${SLEEP_S}"
+done
+echo "[retry_train] attempt budget exhausted" >> "${LOG}"
+exit 1
