@@ -28,7 +28,9 @@ for attempt in $(seq 1 "${MAX_ATTEMPTS}"); do
     ARGS=("${FIRST_ARGS[@]+"${FIRST_ARGS[@]}"}")
   fi
   echo "[retry_train] attempt ${attempt}: python run.py -c ${CONFIG} ${ARGS[*]:-}" >> "${LOG}"
-  python run.py -c "${CONFIG}" "${ARGS[@]+"${ARGS[@]}"}" >> "${LOG}" 2>&1
+  # -u: unbuffered stdout — block buffering makes the log lag many minutes
+  # behind real progress when redirected to a file
+  python -u run.py -c "${CONFIG}" "${ARGS[@]+"${ARGS[@]}"}" >> "${LOG}" 2>&1
   rc=$?
   if [ $rc -eq 0 ]; then
     echo "[retry_train] completed on attempt ${attempt}" >> "${LOG}"
