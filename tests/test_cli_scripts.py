@@ -261,6 +261,23 @@ def test_analysis_bond_band_stats(arts, tmp_path):
     assert stats["truth"]["frac_in_band"] > 0.9
 
 
+@pytest.mark.parametrize("pairs", ["random", "nearest"])
+def test_analysis_mix_decode_stats(arts, tmp_path, pairs):
+    out = str(tmp_path / f"mix_{pairs}.json")
+    run_script("analysis/mix_decode_stats.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--split", "val", "--n_mix", "8", "--batch_size", "4",
+        "--pairs", pairs, "--seed", "0", "--out", out])
+    stats = json.load(open(out))
+    assert 0.0 <= stats["keep_rate"] <= 1.0
+    assert stats["n_mix"] == 8
+    # every mix decode lands in exactly one bucket
+    assert stats["keep_rate"] * 8 + sum(
+        stats["reject_counts"].values()) == 8
+    assert np.isfinite(stats["mix_bond"]["mean"])
+    assert 0.0 <= stats["mix_bond"]["frac_legal"] <= 1.0
+
+
 def test_analysis_reconstruct_dataset(arts, tmp_path):
     out = str(tmp_path / "recon_ds")
     run_script("analysis/reconstruct_dataset.py", [
