@@ -200,22 +200,43 @@ def ot_generate_latents(
     bat_size_n: int,
     thresh: float,
     key: jax.Array,
+    k_neighbors: int = 2,
+    samples_per_pair: int = 1,
 ) -> Dict[str, np.ndarray]:
     """One-shot candidate generation (run_aeot_end2end.py:143-266):
 
     1. draw num_gen_x source samples in blocks of bat_size_n, take the
-       top-2 OT cells of each,
-    2. keep pairs whose lifted normals subtend an angle < thresh rad,
+       top-k OT cells of each (reference: k=2),
+    2. pair the top-1 cell with each other neighbor and keep pairs whose
+       lifted normals subtend an angle < thresh rad,
     3. canonicalize + dedup the pairs,
-    4. random convex interpolation of both latents and lengths.
+    4. random convex interpolation of both latents and lengths,
+       `samples_per_pair` independent weights per unique pair.
 
     Returns {"latents" [M, Dflat] f32, "lengths" [M] i64}.
+
+    `k_neighbors`/`samples_per_pair` are intentional EXTENSIONS beyond
+    the reference's fixed top-2 / one-weight-per-pair scheme: on a small
+    latent bank the number of unique angularly-close top-2 pairs
+    saturates well below the requested sample count (measured: 1871
+    unique pairs from a 3276-cell bank even at num_gen_x=400k), and the
+    reference path then under-delivers with "NO refill". Defaults (2, 1)
+    reproduce the reference behavior bit-for-bit (same seed => same
+    pairs and weights); k_neighbors follows sample_extended's naming.
     """
     lengths = np.asarray(lengths).reshape(-1)
     if num_gen_x < bat_size_n:
         raise ValueError(
             f"num_gen_x must be >= bat_size_n. Got {num_gen_x} "
             f"< {bat_size_n}")
+    k_neighbors = int(k_neighbors)
+    samples_per_pair = int(samples_per_pair)
+    if not 2 <= k_neighbors <= ot.P.shape[0]:
+        raise ValueError(f"k_neighbors must be in [2, n_cells]; got "
+                         f"{k_neighbors} with {ot.P.shape[0]} cells")
+    if samples_per_pair < 1:
+        raise ValueError(f"samples_per_pair must be >= 1; got "
+                         f"{samples_per_pair}")
     num_bat = num_gen_x // bat_size_n
     if num_bat * bat_size_n != num_gen_x:
         print(f"[warn] num_gen_x={num_gen_x} not a multiple of "
@@ -242,9 +263,14 @@ def ot_generate_latents(
         def body(_, k):
             x = sample(k, (bat_size_n, ot.dim))
             u = x @ P_dev.T + h_dev[None, :]
-            _, idx = jax.lax.top_k(u, 2)                      # [bat, 2]
-            cs = jnp.sum(nm_dev[idx[:, 0]] * nm_dev[idx[:, 1]], axis=1)
-            return None, (jnp.sort(idx, axis=1), cs > cos_th)
+            _, idx = jax.lax.top_k(u, k_neighbors)            # [bat, k]
+            # pair top-1 with each other neighbor: [bat, k-1, 2]
+            a = jnp.broadcast_to(idx[:, :1, None],
+                                 (idx.shape[0], k_neighbors - 1, 1))
+            b = idx[:, 1:, None]
+            pr = jnp.sort(jnp.concatenate([a, b], axis=-1), axis=-1)
+            cs = jnp.sum(nm_dev[a[..., 0]] * nm_dev[b[..., 0]], axis=-1)
+            return None, (pr, cs > cos_th)
         _, (pr, keep) = jax.lax.scan(body, None, keys)
         return pr.reshape(-1, 2), keep.reshape(-1)
 
@@ -260,8 +286,10 @@ def ot_generate_latents(
         return {"latents": np.zeros((0, D), np.float32),
                 "lengths": np.zeros((0,), np.int64)}
 
+    if samples_per_pair > 1:
+        pairs = np.concatenate([pairs] * samples_per_pair, axis=1)
     key, kw = jax.random.split(key)
-    w = np.asarray(jax.random.uniform(kw, (M, 1)), np.float64)
+    w = np.asarray(jax.random.uniform(kw, (pairs.shape[1], 1)), np.float64)
     P64 = np.asarray(ot.P, np.float64)
     lat = P64[pairs[0]] * w + P64[pairs[1]] * (1.0 - w)
     w1 = w[:, 0]

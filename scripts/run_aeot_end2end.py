@@ -64,6 +64,14 @@ def parse_args():
     ap.add_argument("--ot_thresh", type=float, default=0.3)
     ap.add_argument("--ot_source", type=str, default="uniform01",
                     choices=["uniform01", "uniform", "gaussian"])
+    # extensions beyond the reference's fixed top-2 / 1-weight scheme:
+    # lift candidate diversity on small banks (see pipelines/aeot.py)
+    ap.add_argument("--ot_topk", type=int, default=2,
+                    help="pair the top-1 OT cell with each of the next "
+                         "k-1 cells (reference behavior: 2)")
+    ap.add_argument("--ot_samples_per_pair", type=int, default=1,
+                    help="independent convex weights per unique pair "
+                         "(reference behavior: 1)")
     # decoding
     ap.add_argument("--decode_batch_size", type=int, default=64)
     ap.add_argument("--latent_key", type=str, default="latents")
@@ -154,7 +162,9 @@ def main() -> None:
     ot = SemiDiscreteOT(P=P, h=h, source=args.ot_source)
     ot_out = ot_generate_latents(
         ot, lengths_bank, int(args.num_gen_x), int(args.ot_bat_size_n),
-        float(args.ot_thresh), jax.random.PRNGKey(args.seed))
+        float(args.ot_thresh), jax.random.PRNGKey(args.seed),
+        k_neighbors=int(args.ot_topk),
+        samples_per_pair=int(args.ot_samples_per_pair))
     t_ot1 = time.time()
 
     z_in = ot_out["latents"]
@@ -222,6 +232,8 @@ def main() -> None:
         "ot_thresh": float(args.ot_thresh),
         "num_gen_x": int(args.num_gen_x),
         "ot_bat_size_n": int(args.ot_bat_size_n),
+        "ot_topk": int(args.ot_topk),
+        "ot_samples_per_pair": int(args.ot_samples_per_pair),
         "ae_ckpt": str(args.ae_ckpt),
         "features_pt": str(args.features_pt), "ot_h": str(args.ot_h),
     }

@@ -168,6 +168,53 @@ def test_ot_generate_latents_properties():
     assert lens.max() <= lengths.max() + 1
 
 
+def test_ot_topk_default_reproduces_top2_path():
+    """k_neighbors=2, samples_per_pair=1 must be bit-identical to the
+    historical top-2 path (same seed => same candidates)."""
+    ot = _mk_ot(n=30)
+    lengths = np.random.default_rng(3).integers(20, 90, 30)
+    base = ot_generate_latents(ot, lengths, num_gen_x=256, bat_size_n=128,
+                               thresh=3.0, key=jax.random.PRNGKey(0))
+    expl = ot_generate_latents(ot, lengths, num_gen_x=256, bat_size_n=128,
+                               thresh=3.0, key=jax.random.PRNGKey(0),
+                               k_neighbors=2, samples_per_pair=1)
+    np.testing.assert_array_equal(base["latents"], expl["latents"])
+    np.testing.assert_array_equal(base["lengths"], expl["lengths"])
+
+
+def test_ot_topk_and_samples_per_pair_expand_candidates():
+    ot = _mk_ot(n=30)
+    lengths = np.random.default_rng(3).integers(20, 90, 30)
+    kw = dict(num_gen_x=256, bat_size_n=128, thresh=3.0,
+              key=jax.random.PRNGKey(0))
+    n2 = ot_generate_latents(ot, lengths, **kw)["latents"].shape[0]
+    out4 = ot_generate_latents(ot, lengths, k_neighbors=4, **kw)
+    n4 = out4["latents"].shape[0]
+    assert n4 >= n2  # top-1-vs-{2,3,4} pairs are a superset of top-2
+    # candidates stay convex combinations of bank rows
+    assert out4["latents"].min() >= ot.P.min() - 1e-5
+    assert out4["latents"].max() <= ot.P.max() + 1e-5
+    spp = ot_generate_latents(ot, lengths, samples_per_pair=3, **kw)
+    assert spp["latents"].shape[0] == 3 * n2
+    assert spp["lengths"].shape[0] == 3 * n2
+    # same pairs, different weights: 3 blocks of candidates differ
+    a, b, c = np.split(spp["latents"], 3, axis=0)
+    assert not np.array_equal(a, b) and not np.array_equal(b, c)
+
+
+def test_ot_topk_validation():
+    ot = _mk_ot(n=8)
+    lengths = np.arange(8) + 10
+    kw = dict(num_gen_x=128, bat_size_n=128, thresh=3.0,
+              key=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        ot_generate_latents(ot, lengths, k_neighbors=1, **kw)
+    with pytest.raises(ValueError):
+        ot_generate_latents(ot, lengths, k_neighbors=9, **kw)
+    with pytest.raises(ValueError):
+        ot_generate_latents(ot, lengths, samples_per_pair=0, **kw)
+
+
 def test_ot_thresh_zero_keeps_nothing():
     ot = _mk_ot(n=30)
     lengths = np.arange(30) + 10
