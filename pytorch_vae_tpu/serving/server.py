@@ -130,6 +130,9 @@ class ServerState:
             "--num_gen_x", str(int(p.get("num_gen_x", 50000))),
             "--ot_bat_size_n", str(int(p.get("ot_bat_size_n", 10000))),
             "--ot_thresh", str(float(p.get("ot_thresh", 0.3))),
+            "--ot_topk", str(int(p.get("ot_topk", 2))),
+            "--ot_samples_per_pair",
+            str(int(p.get("ot_samples_per_pair", 1))),
             "--min_length", str(int(p.get("min_length", 32))),
             "--min_pairwise_dist",
             str(float(p.get("min_pairwise_dist", 2.0))),

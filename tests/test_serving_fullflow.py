@@ -72,7 +72,8 @@ def flow(tiny_ckpt, tmp_path_factory):
 
     code, body = _post(base + "/generate", {
         "n_generate": 6, "num_gen_x": 512, "ot_bat_size_n": 256,
-        "ot_thresh": 1.5, "min_length": 8, "seed": 0})
+        "ot_thresh": 1.5, "ot_topk": 3, "ot_samples_per_pair": 2,
+        "min_length": 8, "seed": 0})
     assert code == 200, body
     tid = json.loads(body)["task_id"]
     deadline = time.time() + 420
