@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""On-hardware validation + flagship A/B for the fused FFN kernel.
+
+The CPU suite (tests/test_fused_ffn.py) proves numerics under the Pallas
+interpreter; Mosaic lowering, VMEM fit, and whether the saved HBM traffic
+actually beats XLA's conv-form FFN fusions are hardware facts. This script
+must pass — and the A/B must win — before ops/fused_ffn.py can become a
+default (cf. ops/fused_qkv_attention.py, a hardware-validated negative).
+
+Protocol (single process, one backend init):
+  1. fwd + grad parity vs the two-matmul XLA reference at flagship FFN
+     dims ([44800, 512] x 2048, bf16 and f32), no dropout;
+  2. seeded-dropout exactness: the position-hash mask is the SAME
+     function on hardware and interpreter, so the kernel must match an
+     XLA reference applying ops.fused_ffn._keep_mask directly (fwd and
+     all five gradients);
+  3. drop-rate sanity at the flagship rate (0.1);
+  4. flagship train-step A/B: set_fused_ffn_override(True/False),
+     alternating x2 with jax.clear_caches() between halves.
+
+Writes benchmarks/fused_ffn_ab.json and prints one JSON line.
+Run: python benchmarks/validate_fused_ffn_tpu.py [--skip-ab]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import pytorch_vae_tpu.ops.fused_ffn as ffk  # noqa: E402
+
+HP = jax.lax.Precision.HIGHEST
+
+
+def ref_ffn(x, w1, b1, w2, b2):
+    pre = (jnp.dot(x, w1, precision=HP,
+                   preferred_element_type=jnp.float32)
+           + b1.astype(jnp.float32))
+    h = jnp.maximum(pre, 0.0).astype(x.dtype)
+    out = (jnp.dot(h, w2, precision=HP,
+                   preferred_element_type=jnp.float32)
+           + b2.astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
+def ref_ffn_dropped(x, w1, b1, w2, b2, keep, thresh24):
+    pre = (jnp.dot(x, w1, precision=HP,
+                   preferred_element_type=jnp.float32)
+           + b1.astype(jnp.float32))
+    h = jnp.maximum(pre, 0.0)
+    h = jnp.where(keep, h * ffk._dropout_scale(thresh24), 0.0)
+    out = (jnp.dot(h.astype(x.dtype), w2, precision=HP,
+                   preferred_element_type=jnp.float32)
+           + b2.astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
+def make(n, e, ff, dtype):
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (n, e), jnp.float32)
+    w1 = jax.random.normal(ks[1], (e, ff), jnp.float32) / np.sqrt(e)
+    b1 = jax.random.normal(ks[2], (ff,), jnp.float32) * 0.1
+    w2 = jax.random.normal(ks[3], (ff, e), jnp.float32) / np.sqrt(ff)
+    b2 = jax.random.normal(ks[4], (e,), jnp.float32) * 0.1
+    return tuple(a.astype(dtype) for a in (x, w1, b1, w2, b2))
+
+
+def check_parity(dtype, tol):
+    n, e, ff = 44800, 512, 2048  # flagship: B=128 * L=350 rows
+    x, w1, b1, w2, b2 = make(n, e, ff, dtype)
+    out = jax.jit(ffk.fused_ffn)(x, w1, b1, w2, b2)
+    ref = ref_ffn(x, w1, b1, w2, b2)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))) + 1.0)
+    assert err < tol * scale, (dtype, err, scale)
+
+    cot = jax.random.normal(jax.random.PRNGKey(3), (n, e)).astype(dtype)
+    gf = jax.jit(jax.grad(
+        lambda *a: jnp.sum((ffk.fused_ffn(*a) * cot).astype(jnp.float32)),
+        argnums=(0, 1, 2, 3, 4)))(x, w1, b1, w2, b2)
+    gr = jax.grad(
+        lambda *a: jnp.sum((ref_ffn(*a) * cot).astype(jnp.float32)),
+        argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b, name in zip(gf, gr, "x w1 b1 w2 b2".split()):
+        e_ = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                   - b.astype(jnp.float32))))
+        s_ = float(jnp.max(jnp.abs(b.astype(jnp.float32))) + 1.0)
+        assert e_ < tol * s_, (dtype, name, e_, s_)
+    print(f"[1] fwd/grad parity OK ({dtype}, max fwd err {err:.2e})",
+          flush=True)
+
+
+def check_dropout():
+    rate = 0.1
+    n, e, ff = 8960, 512, 2048
+    thresh24 = min((1 << ffk._RATE_BITS) - 1,
+                   int(round(rate * (1 << ffk._RATE_BITS))))
+    key = jax.random.PRNGKey(7)
+    x, w1, b1, w2, b2 = make(n, e, ff, jnp.float32)
+
+    f = jax.jit(lambda *a: ffk.fused_ffn(
+        *a, dropout_rate=rate, dropout_key=key))
+    out1, out2 = f(x, w1, b1, w2, b2), f(x, w1, b1, w2, b2)
+    assert bool(jnp.array_equal(out1, out2))
+    print("[2] seeded dropout deterministic OK", flush=True)
+
+    seed = jax.lax.bitcast_convert_type(
+        jax.random.key_data(key).reshape(-1)[:2], jnp.int32)
+    keep = ffk._keep_mask((n, ff), jnp.uint32(0), jnp.uint32(0),
+                          seed[0], seed[1], thresh24, ff)
+    kr = float(jnp.mean(keep.astype(jnp.float32)))
+    assert abs(kr - (1 - rate)) < 0.005, kr
+
+    ref = ref_ffn_dropped(x, w1, b1, w2, b2, keep, thresh24)
+    err = float(jnp.max(jnp.abs(out1 - ref)))
+    scale = float(jnp.max(jnp.abs(ref)) + 1.0)
+    assert err < 2e-2 * scale, (err, scale)
+
+    cot = jax.random.normal(jax.random.PRNGKey(8), (n, e))
+    gf = jax.jit(jax.grad(
+        lambda *a: jnp.sum(ffk.fused_ffn(
+            *a, dropout_rate=rate, dropout_key=key) * cot),
+        argnums=(0, 1, 2, 3, 4)))(x, w1, b1, w2, b2)
+    gr = jax.grad(
+        lambda *a: jnp.sum(ref_ffn_dropped(*a, keep, thresh24) * cot),
+        argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b, name in zip(gf, gr, "x w1 b1 w2 b2".split()):
+        e_ = float(jnp.max(jnp.abs(a - b)))
+        s_ = float(jnp.max(jnp.abs(b)) + 1.0)
+        assert e_ < 2e-2 * s_, (name, e_, s_)
+    print(f"[3] dropout fwd/grad vs hash-mask reference OK "
+          f"(keep rate {kr:.4f})", flush=True)
+
+
+def set_fused(on: bool) -> None:
+    ffk.set_fused_ffn_override(on)
+    jax.clear_caches()  # the gate is baked in at trace time
+
+
+def main() -> None:
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    check_parity(jnp.float32, 2e-2)
+    check_parity(jnp.bfloat16, 4e-2)
+    check_dropout()
+
+    if "--skip-ab" in sys.argv:
+        print("[ab] skipped")
+        return
+
+    from run_all import bench_flagship  # noqa: E402
+
+    results = {"fused": [], "control": []}
+    for rep in range(2):
+        for name, on in (("fused", True), ("control", False)):
+            set_fused(on)
+            r = bench_flagship("bfloat16", 30)
+            results[name].append(r["ms_per_step"])
+            print(f"[ab] rep{rep} {name}: {r['ms_per_step']:.2f} ms",
+                  flush=True)
+    set_fused(None)
+
+    out = {
+        "fused_ms": min(results["fused"]),
+        "control_ms": min(results["control"]),
+        "all": results,
+        "delta_ms": min(results["fused"]) - min(results["control"]),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "fused_ffn_ab.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

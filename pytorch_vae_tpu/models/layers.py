@@ -269,20 +269,28 @@ class MultiHeadAttention(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """linear -> act -> dropout -> linear, kernels sharded on the mlp axis."""
+    """linear -> act -> dropout -> linear, kernels sharded on the mlp axis.
+
+    Two compute paths share the same parameters (cf. MultiHeadAttention):
+      - fused Pallas kernel (ops/fused_ffn.py): both matmuls + activation
+        + dropout in one kernel, the [N, hidden] intermediate never leaves
+        VMEM — opt-in via use_fused / ops.fused_ffn.fused_ffn_enabled(),
+      - two nn.Dense calls with CheapDropout — the default/fallback path.
+    The two paths draw different dropout masks from the same "dropout"
+    RNG stream (both unbiased); outputs match when dropout is off.
+    """
 
     dim: int
     hidden: int
     dropout: float = 0.0
     activation: Callable = nn.relu
     dtype: Dtype = jnp.float32
+    use_fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         lead = x.shape[:-1]
-        if dense2d_enabled("ffn"):  # see _DENSE2D note at module top
-            x = x.reshape(-1, x.shape[-1])
-        h = nn.Dense(
+        fc1 = nn.Dense(
             self.hidden,
             dtype=self.dtype,
             kernel_init=nn.with_logical_partitioning(
@@ -292,12 +300,8 @@ class FeedForward(nn.Module):
                 nn.initializers.zeros_init(), ("mlp",)
             ),
             name="fc1",
-        )(x)
-        h = self.activation(h)
-        if self.dropout > 0.0:
-            h = CheapDropout(rate=self.dropout)(h,
-                                                deterministic=deterministic)
-        h = nn.Dense(
+        )
+        fc2 = nn.Dense(
             self.dim,
             dtype=self.dtype,
             kernel_init=nn.with_logical_partitioning(
@@ -307,7 +311,49 @@ class FeedForward(nn.Module):
                 nn.initializers.zeros_init(), ("embed",)
             ),
             name="fc2",
-        )(h)
+        )
+
+        from pytorch_vae_tpu.ops import fused_ffn as ffk
+
+        use_fused = self.use_fused
+        if use_fused is None:
+            use_fused = ffk.fused_ffn_enabled()
+        act_name = {nn.relu: "relu", nn.gelu: "gelu"}.get(self.activation)
+        n_rows = 1
+        for d in lead:
+            n_rows *= int(d)
+        if (use_fused and act_name is not None
+                and ffk.fused_ffn_supported(n_rows, self.dim, self.hidden)):
+            from flax.core import meta as fmeta
+
+            # materialize the params without paying for an unfused pass
+            dummy = jnp.zeros((1, self.dim), self.dtype)
+            fc2(fc1(dummy))
+            pv = self.variables["params"]
+
+            def unbox(name, field):
+                w = fmeta.unbox(pv[name][field])
+                return jnp.asarray(w, self.dtype)
+
+            drop = 0.0 if deterministic else float(self.dropout)
+            return ffk.fused_ffn(
+                x,
+                unbox("fc1", "kernel"), unbox("fc1", "bias"),
+                unbox("fc2", "kernel"), unbox("fc2", "bias"),
+                activation=act_name,
+                dropout_rate=drop,
+                dropout_key=(self.make_rng("dropout") if drop > 0.0
+                             else None),
+            )
+
+        if dense2d_enabled("ffn"):  # see _DENSE2D note at module top
+            x = x.reshape(-1, x.shape[-1])
+        h = fc1(x)
+        h = self.activation(h)
+        if self.dropout > 0.0:
+            h = CheapDropout(rate=self.dropout)(h,
+                                                deterministic=deterministic)
+        h = fc2(h)
         if dense2d_enabled("ffn"):
             h = h.reshape(lead + (self.dim,))
         return h
