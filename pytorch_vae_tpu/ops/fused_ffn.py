@@ -117,6 +117,22 @@ def _keep_mask(shape: Tuple[int, int], row0, col0, s0, s1,
     return (h >> jnp.uint32(32 - _RATE_BITS)) >= jnp.uint32(thresh24)
 
 
+def _dot(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
+    """dot_general with f32 MXU accumulation.
+
+    f32 operands additionally request Precision.HIGHEST: the MXU's
+    default single bf16 pass loses ~8 mantissa bits, which both misses
+    the unfused XLA reference (ops compare against HIGHEST) and FLIPS
+    relu gates when `pre` lands near 0 — measured as a 9%-of-scale dx
+    error on hardware (the interpreter's exact f32 can't see it). bf16
+    operands are MXU-native, so the flagship path is unaffected."""
+    prec = (jax.lax.Precision.HIGHEST
+            if a.dtype == jnp.float32 else None)
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+
+
 def _act(pre: jnp.ndarray, kind: str) -> jnp.ndarray:
     if kind == "relu":
         return jnp.maximum(pre, 0.0)
@@ -153,20 +169,15 @@ def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     acc = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
     for j in range(nj):                              # static hidden tiles
         w1 = w1_ref[:, j * th:(j + 1) * th]
-        pre = jax.lax.dot_general(
-            x, w1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b1_ref[0, j * th:(j + 1) * th][None, :].astype(jnp.float32)
+        pre = _dot(x, w1, ((1,), (0,))) + b1_ref[
+            0, j * th:(j + 1) * th][None, :].astype(jnp.float32)
         h = _act(pre, activation)
         if thresh24 > 0:
             keep = _keep_mask(h.shape, row0, jnp.uint32(j * th),
                               seed_ref[0], seed_ref[1], thresh24, hidden)
             h = jnp.where(keep, h * _dropout_scale(thresh24), 0.0)
-        acc = acc + jax.lax.dot_general(
-            h.astype(x.dtype), w2_ref[j * th:(j + 1) * th, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        acc = acc + _dot(h.astype(x.dtype),
+                         w2_ref[j * th:(j + 1) * th, :], ((1,), (0,)))
     o_ref[...] = (acc + b2_ref[0][None, :].astype(jnp.float32)
                   ).astype(o_ref.dtype)
 
@@ -181,23 +192,16 @@ def _bwd_dx_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, g_ref, dx_ref,
     for j in range(nj):
         w1 = w1_ref[:, j * th:(j + 1) * th]          # [E, TH]
         w2 = w2_ref[j * th:(j + 1) * th, :]          # [TH, E]
-        pre = jax.lax.dot_general(
-            x, w1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b1_ref[0, j * th:(j + 1) * th][None, :].astype(jnp.float32)
-        dh = jax.lax.dot_general(                    # dy @ W2^T
-            g, w2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        pre = _dot(x, w1, ((1,), (0,))) + b1_ref[
+            0, j * th:(j + 1) * th][None, :].astype(jnp.float32)
+        dh = _dot(g, w2, ((1,), (1,)))               # dy @ W2^T
         if thresh24 > 0:
             keep = _keep_mask(dh.shape, row0, jnp.uint32(j * th),
                               seed_ref[0], seed_ref[1], thresh24, hidden)
             dh = jnp.where(keep, dh * _dropout_scale(thresh24), 0.0)
         dpre = dh * _act_grad(pre, activation)
-        acc = acc + jax.lax.dot_general(             # dpre @ W1^T
-            dpre.astype(x.dtype), w1, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        acc = acc + _dot(dpre.astype(x.dtype), w1,   # dpre @ W1^T
+                         ((1,), (1,)))
     dx_ref[...] = acc.astype(dx_ref.dtype)
 
 
@@ -228,15 +232,10 @@ def _bwd_dw_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, g_ref,
     g = g_ref[...]                                   # [RT, E]
     row0 = (r * rt).astype(jnp.uint32)
     col0 = (j * th).astype(jnp.uint32)
-    pre = jax.lax.dot_general(
-        x, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[0][None, :].astype(jnp.float32)       # [RT, TH]
+    pre = _dot(x, w1_ref[...], ((1,), (0,))) + b1_ref[
+        0][None, :].astype(jnp.float32)              # [RT, TH]
     h = _act(pre, activation)
-    dh = jax.lax.dot_general(                        # dy @ W2^T
-        g, w2_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dh = _dot(g, w2_ref[...], ((1,), (1,)))          # dy @ W2^T
     if thresh24 > 0:
         keep = _keep_mask(pre.shape, row0, col0,
                           seed_ref[0], seed_ref[1], thresh24, hidden)
@@ -245,15 +244,11 @@ def _bwd_dw_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, g_ref,
         dh = jnp.where(keep, dh * scale, 0.0)
     dpre = dh * _act_grad(pre, activation)
     xd = x.astype(jnp.bfloat16) if x.dtype == jnp.bfloat16 else x
-    dw1_ref[...] += jax.lax.dot_general(             # x^T @ dpre
-        xd, dpre.astype(xd.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dw1_ref[...] += _dot(xd, dpre.astype(xd.dtype),  # x^T @ dpre
+                         ((0,), (0,)))
     db1_ref[...] += jnp.sum(dpre, axis=0, keepdims=True)
-    dw2_ref[...] += jax.lax.dot_general(             # h~^T @ dy
-        h.astype(xd.dtype), g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dw2_ref[...] += _dot(h.astype(xd.dtype), g,      # h~^T @ dy
+                         ((0,), (0,)))
 
     @pl.when(j == 0)
     def _db2():
@@ -264,6 +259,30 @@ def _bwd_dw_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, g_ref,
 # ---------------------------------------------------------------------
 # tiling
 # ---------------------------------------------------------------------
+# Scoped VMEM per kernel is 16 MB on current TPUs; Mosaic's stack
+# accounting landed the original rt=512/th=1024 dW pass at 19.52 MB
+# (hardware fact from benchmarks/validate_fused_ffn_tpu.py — the
+# interpreter can't see VMEM). The estimators below deliberately
+# OVER-count (full double-buffering on every varying block, all f32
+# temps live at once) so a 13 MB budget on the estimate keeps the real
+# allocation comfortably under the limit.
+_VMEM_BUDGET = 13 * 2**20
+
+
+def _rowpass_vmem(rt: int, th: int, e: int, ff: int, isz: int) -> int:
+    """Estimated scoped-VMEM bytes for the fwd/dx kernels (full weights
+    resident, x/g/out row tiles, f32 acc + up to 3 [rt, th] f32 temps)."""
+    return (2 * e * ff * isz + 6 * rt * e * isz
+            + 4 * rt * e + 12 * rt * th)
+
+
+def _dw_vmem(rt: int, th: int, e: int, ff: int, isz: int) -> int:
+    """Estimated scoped-VMEM bytes for the dW kernel (x/g tiles, w1/w2
+    hidden-tile blocks, f32 dw1/dw2 output blocks, 4 [rt, th] f32 temps)."""
+    return (4 * rt * e * isz + 4 * e * th * isz
+            + 8 * e * th + 16 * rt * th)
+
+
 def _row_tile(n: int, cap: int) -> Tuple[int, int]:
     """(padded_n, row_tile): largest divisor of n that is a multiple of 8
     and <= cap; pads n up to a multiple of min(cap, 512) if none exists.
@@ -280,6 +299,39 @@ def _hidden_tile(ff: int, cap: int) -> int:
         if ff % th == 0:
             return th
     return ff
+
+
+def _fit_row_tile(n: int, th: int, e: int, ff: int, isz: int,
+                  vmem_fn) -> Tuple[int, int]:
+    """Largest row tile whose estimated VMEM fits the budget."""
+    for cap in (512, 256, 128, 64, 32, 16, 8):
+        n_pad, rt = _row_tile(n, cap)
+        if vmem_fn(rt, th, e, ff, isz) <= _VMEM_BUDGET:
+            return n_pad, rt
+    return _row_tile(n, 8)
+
+
+def _fit_dw_tiles(n: int, e: int, ff: int, isz: int) -> Tuple[int, int, int]:
+    """(padded_n, row_tile, hidden_tile) for the dW pass.
+
+    Hidden tile is maximized FIRST: x/dy HBM re-reads scale with
+    ff // th, while shrinking rt only adds (cheap) grid steps — but a
+    row tile below 128 starves the rt-deep dW contractions, so such
+    combos only win when no narrower hidden tile fits either."""
+    best = None
+    th = _hidden_tile(ff, 1024)
+    while True:
+        for cap in (512, 256, 128, 64, 32, 16, 8):
+            n_pad, rt = _row_tile(n, cap)
+            if _dw_vmem(rt, th, e, ff, isz) <= _VMEM_BUDGET:
+                if rt >= 128 or th <= 128:
+                    return n_pad, rt, th
+                if best is None:
+                    best = (n_pad, rt, th)
+                break
+        if th <= 128:
+            return best if best is not None else (*_row_tile(n, 8), th)
+        th = _hidden_tile(ff, th - 128)
 
 
 # ---------------------------------------------------------------------
@@ -317,8 +369,9 @@ def _pad_rows(a, n_pad):
 def _core_fwd(x, w1, b1, w2, b2, seed, thresh24, activation, interpret):
     n, e = x.shape
     ff = w1.shape[1]
-    n_pad, rt = _row_tile(n, 512)
+    isz = x.dtype.itemsize
     th = _hidden_tile(ff, 512)
+    n_pad, rt = _fit_row_tile(n, th, e, ff, isz, _rowpass_vmem)
     xp = _pad_rows(x, n_pad)
     seed_spec, x_spec, w1_spec, b1_spec, w2_spec, b2_spec = _specs(
         rt, n_pad, e, ff)
@@ -344,13 +397,13 @@ def _core_bwd(thresh24, activation, interpret, res, g):
     x, w1, b1, w2, b2, seed = res
     n, e = x.shape
     ff = w1.shape[1]
-    n_pad, rt = _row_tile(n, 512)
+    isz = x.dtype.itemsize
+    th_a = _hidden_tile(ff, 512)
+    n_pad, rt = _fit_row_tile(n, th_a, e, ff, isz, _rowpass_vmem)
     xp = _pad_rows(x, n_pad)
     gp = _pad_rows(g, n_pad)
     seed_spec, x_spec, w1_spec, b1_spec, w2_spec, _ = _specs(
         rt, n_pad, e, ff)
-
-    th_a = _hidden_tile(ff, 512)
     dx = pl.pallas_call(
         functools.partial(_bwd_dx_kernel, th=th_a, thresh24=thresh24,
                           activation=activation, hidden=ff),
@@ -367,8 +420,12 @@ def _core_bwd(thresh24, activation, interpret, res, g):
         interpret=interpret,
     )(seed, xp, w1, b1, w2, gp)[:n]
 
-    # dW pass: wider hidden tiles (fewer re-reads of x/dy), f32 outputs
-    th_b = _hidden_tile(ff, 1024)
+    # dW pass: wider hidden tiles (fewer re-reads of x/dy), f32 outputs;
+    # its own (smaller) row tile + padding — the [rt, th] f32 temps plus
+    # the f32 weight-grad output blocks dominate this kernel's VMEM.
+    n_pad_b, rt_b, th_b = _fit_dw_tiles(n, e, ff, isz)
+    xpb = _pad_rows(x, n_pad_b)
+    gpb = _pad_rows(g, n_pad_b)
     w1t_spec = pl.BlockSpec((e, th_b), lambda j, r: (0, j),
                             memory_space=pltpu.VMEM)
     b1t_spec = pl.BlockSpec((1, th_b), lambda j, r: (0, j),
@@ -377,12 +434,12 @@ def _core_bwd(thresh24, activation, interpret, res, g):
                             memory_space=pltpu.VMEM)
     b2t_spec = pl.BlockSpec((1, e), lambda j, r: (0, 0),
                             memory_space=pltpu.VMEM)
-    xr_spec = pl.BlockSpec((rt, e), lambda j, r: (r, 0),
+    xr_spec = pl.BlockSpec((rt_b, e), lambda j, r: (r, 0),
                            memory_space=pltpu.VMEM)
     dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_bwd_dw_kernel, rt=rt, thresh24=thresh24,
+        functools.partial(_bwd_dw_kernel, rt=rt_b, thresh24=thresh24,
                           activation=activation, hidden=ff),
-        grid=(ff // th_b, n_pad // rt),
+        grid=(ff // th_b, n_pad_b // rt_b),
         in_specs=[seed_spec, xr_spec, w1t_spec, b1t_spec, w2t_spec,
                   xr_spec],
         out_specs=[w1t_spec, b1t_spec, w2t_spec, b2t_spec],
@@ -393,13 +450,13 @@ def _core_bwd(thresh24, activation, interpret, res, g):
             jax.ShapeDtypeStruct((1, e), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=8 * n_pad * e * ff,
+            flops=8 * n_pad_b * e * ff,
             bytes_accessed=(ff // th_b) * 2 * x.size * x.dtype.itemsize
             + 2 * (w1.size + w2.size) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(seed, xp, w1, b1, w2, gp)
+    )(seed, xpb, w1, b1, w2, gpb)
 
     return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b2.dtype),

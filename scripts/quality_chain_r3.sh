@@ -23,6 +23,19 @@ mkdir -p logs
 LOG=logs/quality_chain_r3.log
 echo "[chain] start $(date -u +%FT%TZ)" >> "${LOG}"
 
+# Corpus: EXACT regeneration command (deterministic; np.default_rng(7)).
+# This was previously only documented in the header comment — the whole
+# point of this script is surviving machine recycles, so the call lives
+# here now.
+if [ ! -e data/synth_curves/train_list.txt ]; then
+  python -c "
+from pytorch_vae_tpu.data.synthetic import make_synthetic_curve_dir
+make_synthetic_curve_dir('data/synth_curves', n_train=3276, n_val=820,
+                         seed=7, min_len=48, max_len=96)
+print('corpus: 3276 train / 820 val, seed 7, len 48-96')
+" >> "${LOG}" 2>&1 || exit 1
+fi
+
 run_eval () {  # run_eval <tag> <config> <ckpt_dir> <run_name>
   local tag="$1" cfg="$2" ckpt="$3" run_name="$4"
   python scripts/extract_ae_latents.py --config "${cfg}" \
