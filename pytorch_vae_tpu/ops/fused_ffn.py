@@ -11,6 +11,20 @@ backward — the round-2 profile put the FFN "convolution fusions" at
 activation in VMEM for one row-tile at a time and writes only the [N, E]
 output, cutting FFN HBM traffic roughly in half.
 
+MEASURED PERF NEGATIVE at flagship scale (kept as a hardware-validated
+opt-in, cf. ops/fused_qkv_attention.py): full-step A/B on the real chip
+(benchmarks/validate_fused_ffn_tpu.py step [4], alternating x2 in one
+process) gave 149.9 ms fused vs 121.7 ms control
+(benchmarks/fused_ffn_ab.json, +28 ms). Root cause matches the fused-QKV
+finding: XLA's batch-minor conv-form fusions run the projections well
+above what the in-kernel per-row-tile dots achieve, and the VMEM-capped
+dW pass (rt<=256, th<=512) adds grid steps the big batched XLA backward
+never pays. The HBM saved on the hidden round-trip does not cover that
+gap at E=512/FF=2048. Correctness is fully validated (parity, seeded
+dropout, VMEM fit, Mosaic lowering) so the kernel stays available via
+PVT_FUSED_FFN=1 / set_fused_ffn_override for shapes where it may win
+(narrower E with wider FF ratios); the default stays OFF.
+
 Design (TPU-first; no reference-kernel counterpart exists to port):
 
 - Grid over row tiles of the flattened [N, E] input; both weight
@@ -82,8 +96,12 @@ def fused_ffn_enabled() -> bool:
 
 
 def fused_ffn_supported(n_rows: int, dim: int, hidden: int) -> bool:
-    """Mosaic lane rule: last block dims must be 128-multiples."""
+    """Mosaic lane rule (last block dims must be 128-multiples) plus the
+    hardware-validated VMEM envelope: the anchored tile bound in
+    _fit_dw_tiles only covers E<=512 / FF<=2048 (the flagship FFN and
+    everything below it); wider dims would need a fresh on-chip check."""
     return (dim % 128 == 0 and hidden % 128 == 0
+            and dim <= 512 and hidden <= 2048
             and n_rows >= max(_MIN_ROWS, 8))
 
 
@@ -118,19 +136,19 @@ def _keep_mask(shape: Tuple[int, int], row0, col0, s0, s1,
 
 
 def _dot(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
-    """dot_general with f32 MXU accumulation.
+    """dot_general with f32 MXU accumulation at DEFAULT precision.
 
-    f32 operands additionally request Precision.HIGHEST: the MXU's
-    default single bf16 pass loses ~8 mantissa bits, which both misses
-    the unfused XLA reference (ops compare against HIGHEST) and FLIPS
-    relu gates when `pre` lands near 0 — measured as a 9%-of-scale dx
-    error on hardware (the interpreter's exact f32 can't see it). bf16
-    operands are MXU-native, so the flagship path is unaffected."""
-    prec = (jax.lax.Precision.HIGHEST
-            if a.dtype == jnp.float32 else None)
+    Deliberately bf16-grade for f32 operands: the unfused Dense path
+    this kernel replaces also runs at the stack's default (bf16-grade)
+    matmul precision, so that IS the parity bar. Two hardware negatives
+    pin this choice (benchmarks/validate_fused_ffn_tpu.py): requesting
+    Precision.HIGHEST made Mosaic materialize multi-pass operand splits
+    and blew the dW kernel's scoped VMEM 19.5 -> 21.3 MB (16 MB limit),
+    and element-wise max-abs parity vs a HIGHEST reference fails anyway
+    because bf16-grade `pre` flips relu gates near 0 — the validator
+    therefore compares at default precision with a norm metric."""
     return jax.lax.dot_general(a, b, (dims, ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=prec)
+                               preferred_element_type=jnp.float32)
 
 
 def _act(pre: jnp.ndarray, kind: str) -> jnp.ndarray:
@@ -259,13 +277,11 @@ def _bwd_dw_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, g_ref,
 # ---------------------------------------------------------------------
 # tiling
 # ---------------------------------------------------------------------
-# Scoped VMEM per kernel is 16 MB on current TPUs; Mosaic's stack
-# accounting landed the original rt=512/th=1024 dW pass at 19.52 MB
-# (hardware fact from benchmarks/validate_fused_ffn_tpu.py — the
-# interpreter can't see VMEM). The estimators below deliberately
-# OVER-count (full double-buffering on every varying block, all f32
-# temps live at once) so a 13 MB budget on the estimate keeps the real
-# allocation comfortably under the limit.
+# Scoped VMEM per kernel is 16 MB on current TPUs, and the interpreter
+# can't see it — the dW pass's fit is hardware-anchored in _fit_dw_tiles.
+# The fwd/dx row tile still uses a conservative estimator (those kernels
+# keep BOTH full weight matrices resident, so their budget is row-tile
+# dominated and the estimate over-counts via full double-buffering).
 _VMEM_BUDGET = 13 * 2**20
 
 
@@ -274,13 +290,6 @@ def _rowpass_vmem(rt: int, th: int, e: int, ff: int, isz: int) -> int:
     resident, x/g/out row tiles, f32 acc + up to 3 [rt, th] f32 temps)."""
     return (2 * e * ff * isz + 6 * rt * e * isz
             + 4 * rt * e + 12 * rt * th)
-
-
-def _dw_vmem(rt: int, th: int, e: int, ff: int, isz: int) -> int:
-    """Estimated scoped-VMEM bytes for the dW kernel (x/g tiles, w1/w2
-    hidden-tile blocks, f32 dw1/dw2 output blocks, 4 [rt, th] f32 temps)."""
-    return (4 * rt * e * isz + 4 * e * th * isz
-            + 8 * e * th + 16 * rt * th)
 
 
 def _row_tile(n: int, cap: int) -> Tuple[int, int]:
@@ -314,24 +323,16 @@ def _fit_row_tile(n: int, th: int, e: int, ff: int, isz: int,
 def _fit_dw_tiles(n: int, e: int, ff: int, isz: int) -> Tuple[int, int, int]:
     """(padded_n, row_tile, hidden_tile) for the dW pass.
 
-    Hidden tile is maximized FIRST: x/dy HBM re-reads scale with
-    ff // th, while shrinking rt only adds (cheap) grid steps — but a
-    row tile below 128 starves the rt-deep dW contractions, so such
-    combos only win when no narrower hidden tile fits either."""
-    best = None
-    th = _hidden_tile(ff, 1024)
-    while True:
-        for cap in (512, 256, 128, 64, 32, 16, 8):
-            n_pad, rt = _row_tile(n, cap)
-            if _dw_vmem(rt, th, e, ff, isz) <= _VMEM_BUDGET:
-                if rt >= 128 or th <= 128:
-                    return n_pad, rt, th
-                if best is None:
-                    best = (n_pad, rt, th)
-                break
-        if th <= 128:
-            return best if best is not None else (*_row_tile(n, 8), th)
-        th = _hidden_tile(ff, th - 128)
+    Hardware-anchored rather than estimated: at (rt=448, th=1024,
+    E=512, FF=2048, f32) Mosaic measured 19.52 MB of scoped VMEM
+    (> the 16 MB limit). Every term in that allocation scales with rt,
+    th, or rt*th, so (rt<=256, th<=512) bounds the same workload at
+    19.52 * 256/448 = 11.2 MB; bf16 operand terms only shrink further.
+    fused_ffn_supported() gates dims to E<=512 / FF<=2048 so this bound
+    actually covers every shape the kernel accepts."""
+    th = _hidden_tile(ff, 512)
+    n_pad, rt = _row_tile(n, 256)
+    return n_pad, rt, th
 
 
 # ---------------------------------------------------------------------
