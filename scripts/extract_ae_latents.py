@@ -38,6 +38,11 @@ def main() -> None:
                     help="keep samples with length <= len_max (0 = no cap)")
     ap.add_argument("--split", type=str, default="train",
                     choices=["train", "val"])
+    ap.add_argument("--npy_dir", type=str, default=None,
+                    help="override data_params.npy_dir — extract from a "
+                         "corpus the model was never trained on (bank "
+                         "growth: the OT latent bank does not have to be "
+                         "the training set)")
     ap.add_argument("--pt", action="store_true",
                     help="save a torch .pt dict instead of .npz")
     args = ap.parse_args()
@@ -49,10 +54,11 @@ def main() -> None:
     bundle = AEBundle.from_checkpoint(args.config, args.ckpt)
     cfg = bundle.config
     dp = cfg["data_params"]
+    npy_dir = args.npy_dir or dp["npy_dir"]
     list_name = dp["train_list"] if args.split == "train" else dp["val_list"]
     ds = CurveDataset(
-        dp["npy_dir"],
-        list_path=cfglib.resolve_path(dp["npy_dir"], list_name),
+        npy_dir,
+        list_path=cfglib.resolve_path(npy_dir, list_name),
         train=args.split == "train",
         max_seq_len=int(cfg["model_params"].get("max_seq_len", 350)))
 

@@ -351,3 +351,47 @@ def test_analysis_length_stats(arts, tmp_path):
     stats = json.load(open(os.path.join(out, "length_stats.json")))
     assert stats["pdbs"]["n"] == 3
     assert os.path.isfile(os.path.join(out, "length_hist.png"))
+
+
+def test_extract_ae_latents_npy_dir_override(arts, tmp_path):
+    """--npy_dir extracts from a corpus the config never names (bank growth)."""
+    from pytorch_vae_tpu.data.synthetic import make_synthetic_curve_dir
+
+    alt = str(tmp_path / "alt_corpus")
+    make_synthetic_curve_dir(alt, n_train=6, n_val=2, seed=13,
+                             min_len=12, max_len=24)
+    out = str(tmp_path / "alt_bank.npz")
+    run_script("extract_ae_latents.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"], "--out", out,
+        "--batch_size", "4", "--split", "train", "--npy_dir", alt,
+        "--len_max", "0"])
+    d = np.load(out)
+    assert d["latents"].shape[0] == 6
+    assert d["latents"].shape[1] == MODEL["latent_tokens"] * MODEL["code_dim"]
+
+
+def test_analysis_merge_latent_banks(arts, tmp_path):
+    out = str(tmp_path / "merged.npz")
+    run_script("analysis/merge_latent_banks.py", [
+        "--banks", arts["bank"], arts["bank"], "--out", out])
+    a = np.load(arts["bank"])
+    m = np.load(out)
+    assert m["latents"].shape[0] == 2 * a["latents"].shape[0]
+    assert m["lengths"].shape[0] == m["latents"].shape[0]
+    assert int(m["latent_tokens"]) == MODEL["latent_tokens"]
+    # mean of a self-merge equals the single-bank mean
+    np.testing.assert_allclose(m["mean"], a["mean"], rtol=0, atol=1e-5)
+    assert (m["std"] > 0).all()
+
+
+def test_merge_latent_banks_rejects_mismatched_dims(arts, tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "scripts", "analysis"))
+    try:
+        from merge_latent_banks import merge_banks
+    finally:
+        sys.path.pop(0)
+    a = dict(np.load(arts["bank"]))
+    b = dict(a)
+    b["latent_tokens"] = np.asarray(int(a["latent_tokens"]) + 1)
+    with pytest.raises(ValueError, match="latent_tokens"):
+        merge_banks([a, b])
