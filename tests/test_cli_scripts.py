@@ -395,3 +395,18 @@ def test_merge_latent_banks_rejects_mismatched_dims(arts, tmp_path):
     b["latent_tokens"] = np.asarray(int(a["latent_tokens"]) + 1)
     with pytest.raises(ValueError, match="latent_tokens"):
         merge_banks([a, b])
+
+
+def test_analysis_aggregate_quality_runs(tmp_path):
+    run = tmp_path / "runA"
+    run.mkdir()
+    (run / "summary.json").write_text(json.dumps({
+        "ot_candidates_after_angle_unique": 10, "total_decoded": 8,
+        "kept": 6, "reject_counts": {"bond_out": 2},
+        "timing_sec": {"ot": 1.5, "decode_filter": 0.5}}))
+    (tmp_path / "empty_run").mkdir()
+    out = str(tmp_path / "table.md")
+    run_script("analysis/aggregate_quality_runs.py", [
+        "--runs", str(run), str(tmp_path / "empty_run"), "--out", out])
+    text = open(out).read()
+    assert "| runA | 10 | 8 | 6 | 75.0 | bond_out 2 |" in text
