@@ -25,6 +25,9 @@ set -u
 ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 cd "${ROOT}"
 mkdir -p logs
+. scripts/lib_lock.sh
+acquire_lock logs/.bank_growth_r3.lock.d || {
+  echo "[bankx] another instance running; exiting"; exit 1; }
 LOG=logs/bank_growth_r3.log
 echo "[bankx] start $(date -u +%FT%TZ)" >> "${LOG}"
 

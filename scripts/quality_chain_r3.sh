@@ -20,6 +20,9 @@ set -u
 ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 cd "${ROOT}"
 mkdir -p logs
+. scripts/lib_lock.sh
+acquire_lock logs/.quality_chain_r3.lock.d || {
+  echo "[chain] another instance running; exiting"; exit 1; }
 LOG=logs/quality_chain_r3.log
 echo "[chain] start $(date -u +%FT%TZ)" >> "${LOG}"
 

@@ -4,9 +4,9 @@
 # The axon TPU tunnel intermittently drops for minutes-to-hours (one
 # measured outage >5 h; every backend init died UNAVAILABLE). Training
 # checkpoints `last` every epoch, so the safe pattern is: run, and on any
-# non-zero exit re-invoke with --resume_ckpt <ckpt_dir>/last once it
-# exists. This wrapper loops that until the run completes or the attempt
-# budget is exhausted.
+# non-zero exit re-invoke with --resume_ckpt once a checkpoint exists.
+# This wrapper loops that until the run completes or the attempt budget
+# is exhausted.
 #
 # Usage:
 #   bash scripts/retry_train.sh <config.yaml> <ckpt_dir> <logfile> \
@@ -14,6 +14,15 @@
 #
 # Retries always use --resume_ckpt (resume disables warm-start by design,
 # run.py:15-16) so a mid-run crash never re-applies the warm start.
+#
+# Hardening (learned the hard way, r3):
+# - Holds an flock on <ckpt_dir>.lock: two wrappers on one checkpoint dir
+#   race orbax's delete+rename of `last` (truncated-Zstd restores,
+#   FileNotFoundError mid-rename) and can reset a 200-epoch run to scratch.
+# - Resume prefers `last` only when its _CHECKPOINT_METADATA exists (a
+#   crash mid-save leaves a bare last.orbax-checkpoint-tmp, or worse a
+#   partial dir); otherwise falls back to the NEWEST epochNNN keep-all
+#   checkpoint. From-scratch happens only when no checkpoint exists at all.
 
 set -u
 CONFIG="$1"; CKPT_DIR="$2"; LOG="$3"; shift 3
@@ -21,9 +30,24 @@ FIRST_ARGS=("$@")
 MAX_ATTEMPTS="${MAX_ATTEMPTS:-30}"
 SLEEP_S="${SLEEP_S:-120}"
 
+. "$(dirname "${BASH_SOURCE[0]}")/lib_lock.sh"
+if ! acquire_lock "${CKPT_DIR}.lock.d"; then
+  echo "[retry_train] another wrapper holds ${CKPT_DIR}.lock.d; refusing" >> "${LOG}"
+  exit 1
+fi
+
+pick_resume () {
+  if [ -e "${CKPT_DIR}/last/_CHECKPOINT_METADATA" ]; then
+    echo "${CKPT_DIR}/last"
+    return
+  fi
+  ls -d "${CKPT_DIR}"/epoch* 2>/dev/null | sort -V | tail -1 || true
+}
+
 for attempt in $(seq 1 "${MAX_ATTEMPTS}"); do
-  if [ -e "${CKPT_DIR}/last" ]; then
-    ARGS=(--resume_ckpt "${CKPT_DIR}/last")
+  RESUME="$(pick_resume)"
+  if [ -n "${RESUME}" ]; then
+    ARGS=(--resume_ckpt "${RESUME}")
   else
     ARGS=("${FIRST_ARGS[@]+"${FIRST_ARGS[@]}"}")
   fi

@@ -18,6 +18,9 @@ set -u
 ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 cd "${ROOT}"
 mkdir -p logs results/stage2_r3
+. scripts/lib_lock.sh
+acquire_lock logs/.stage2_chain_r3.lock.d || {
+  echo "[stage2] another instance running; exiting"; exit 1; }
 LOG=logs/stage2_chain_r3.log
 echo "[stage2] start $(date -u +%FT%TZ)" >> "${LOG}"
 

@@ -12,6 +12,11 @@ set -u
 ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 cd "${ROOT}"
 mkdir -p logs
+# double-launch guard: a second instance of this chain races retry_train
+# on the same checkpoint dirs (observed r3: reset a 200-epoch run)
+. scripts/lib_lock.sh
+acquire_lock logs/.stage2_rebuild_r3.lock.d || {
+  echo "[rebuild] another instance running; exiting"; exit 1; }
 LOG=logs/stage2_rebuild_r3.log
 echo "[rebuild] start $(date -u +%FT%TZ)" >> "${LOG}"
 
