@@ -98,7 +98,8 @@ class ServerState:
     """Task registry + worker threads (api/server.py:509-599)."""
 
     def __init__(self, defaults: Dict, python_exe: str = sys.executable,
-                 extra_env: Optional[Dict] = None):
+                 extra_env: Optional[Dict] = None,
+                 warm_worker: bool = False):
         self.defaults = dict(defaults)
         self.python = python_exe
         self.extra_env = dict(extra_env or {})
@@ -107,6 +108,12 @@ class ServerState:
         self.downstream_queue: "queue.Queue[tuple]" = queue.Queue()
         self.device_lock = threading.Lock()
         self._workers_started = False
+        # warm mode (extension beyond the reference's per-task subprocess,
+        # api/server.py:509-559): one persistent scripts/aeot_worker.py
+        # process keeps the backend + jit caches alive across tasks, so
+        # only the first request pays the 200-870 s relay/backend init.
+        self.warm_worker = bool(warm_worker)
+        self._warm_proc: Optional[subprocess.Popen] = None
 
     def start_workers(self) -> None:
         if self._workers_started:
@@ -143,19 +150,72 @@ class ServerState:
             cmd.append("--select_random")
         return cmd
 
+    def _subproc_env(self) -> Dict:
+        # extra_env overrides; a None value REMOVES the var
+        # (tests drop the TPU-relay dial for CPU subprocesses)
+        env = {**os.environ, **self.extra_env}
+        return {k: v for k, v in env.items() if v is not None}
+
+    def _ensure_warm_proc(self) -> subprocess.Popen:
+        if self._warm_proc is not None and self._warm_proc.poll() is None:
+            return self._warm_proc
+        log_dir = REPO_ROOT / "logs"
+        log_dir.mkdir(exist_ok=True)
+        stderr_log = (log_dir / "aeot_worker.log").open("ab")
+        self._warm_proc = subprocess.Popen(
+            [self.python, str(REPO_ROOT / "scripts" / "aeot_worker.py")],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=stderr_log, text=True, bufsize=1,
+            cwd=str(REPO_ROOT), env=self._subproc_env())
+        return self._warm_proc
+
+    def _run_warm(self, t: TaskState) -> Dict:
+        """Execute one task in the persistent worker; restart-once on death."""
+        argv = self._build_cmd(t)[2:]  # strip python + script path
+        for _attempt in (1, 2):
+            proc = self._ensure_warm_proc()
+            line = ""
+            try:
+                proc.stdin.write(json.dumps(
+                    {"op": "run", "argv": argv}) + "\n")
+                proc.stdin.flush()
+                line = proc.stdout.readline()
+            except (BrokenPipeError, OSError):
+                line = ""
+            if line:
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    return {"status": "failed",
+                            "error": f"bad worker reply: {line[:200]!r}"}
+            try:  # worker died: reap and retry once with a fresh one
+                proc.kill()
+            except OSError:
+                pass
+            self._warm_proc = None
+        return {"status": "failed",
+                "error": "warm worker died twice; see logs/aeot_worker.log"}
+
     def _worker_loop(self) -> None:
         while True:
             t = self.task_queue.get()
             t.status = "running"
             try:
+                if self.warm_worker:
+                    with self.device_lock:
+                        res = self._run_warm(t)
+                    t.stdout_tail = (res.get("stdout_tail") or "")[-4000:]
+                    if res.get("status") == "done" and res.get("run_dir"):
+                        t.run_dir = str(res["run_dir"])
+                        t.status = "done"
+                    else:
+                        t.status = "failed"
+                        t.error = (res.get("error") or "unknown")[-4000:]
+                    continue
                 with self.device_lock:
-                    # extra_env overrides; a None value REMOVES the var
-                    # (tests drop the TPU-relay dial for CPU subprocesses)
-                    env = {**os.environ, **self.extra_env}
-                    env = {k: v for k, v in env.items() if v is not None}
                     proc = subprocess.run(
                         self._build_cmd(t), capture_output=True, text=True,
-                        cwd=str(REPO_ROOT), env=env)
+                        cwd=str(REPO_ROOT), env=self._subproc_env())
                 t.stdout_tail = (proc.stdout or "")[-4000:]
                 if proc.returncode != 0:
                     t.status = "failed"
@@ -592,9 +652,10 @@ def make_handler(state: ServerState):
 
 def serve(host: str = "127.0.0.1", port: int = 8000,
           defaults: Optional[Dict] = None,
-          extra_env: Optional[Dict] = None) -> ThreadingHTTPServer:
+          extra_env: Optional[Dict] = None,
+          warm_worker: bool = False) -> ThreadingHTTPServer:
     state = ServerState({**DEFAULTS, **(defaults or {})},
-                        extra_env=extra_env)
+                        extra_env=extra_env, warm_worker=warm_worker)
     state.start_workers()
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.state = state  # type: ignore[attr-defined]
@@ -610,13 +671,18 @@ def main() -> None:
     ap.add_argument("--selftest", action="store_true",
                     help="start on an ephemeral port, exercise the "
                          "endpoints via loopback, then exit")
+    ap.add_argument("--warm_worker", action="store_true",
+                    help="run generation jobs in one persistent worker "
+                         "process (backend init + jit caches paid once) "
+                         "instead of a subprocess per task")
     args = ap.parse_args()
 
     defaults = {k: getattr(args, k) for k in DEFAULTS}
     if args.selftest:
         _selftest(defaults)
         return
-    httpd = serve(args.host, args.port, defaults)
+    httpd = serve(args.host, args.port, defaults,
+                  warm_worker=args.warm_worker)
     print(f"[serve] http://{args.host}:{args.port}  (Ctrl-C to stop)")
     httpd.serve_forever()
 

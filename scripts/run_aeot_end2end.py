@@ -45,7 +45,7 @@ def sanitize_name(name: str) -> str:
     return name or "task"
 
 
-def parse_args():
+def parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ae_config", type=str, required=True)
     ap.add_argument("--ae_ckpt", type=str, required=True)
@@ -99,11 +99,16 @@ def parse_args():
     ap.add_argument("--gpu_id", type=int, default=0)
     ap.add_argument("--ot_device", type=str, default="")
     ap.add_argument("--decode_device", type=str, default="")
-    return ap.parse_args()
+    return ap.parse_args(argv)
 
 
-def main() -> None:
-    args = parse_args()
+def run(args, bundle=None) -> dict:
+    """Execute the pipeline; returns the summary dict it also writes.
+
+    `bundle` lets a persistent caller (scripts/aeot_worker.py) reuse a
+    loaded AE across jobs — the warm-serving path that skips the 200-870 s
+    per-process backend init this image pays on first device contact.
+    """
     import jax
 
     from pytorch_vae_tpu.pipelines import filtering
@@ -136,8 +141,9 @@ def main() -> None:
         json.dump(vars(args), f, indent=2)
 
     t0 = time.time()
-    print("[info] Loading AE ...")
-    bundle = AEBundle.from_checkpoint(args.ae_config, args.ae_ckpt)
+    if bundle is None:
+        print("[info] Loading AE ...")
+        bundle = AEBundle.from_checkpoint(args.ae_config, args.ae_ckpt)
     flat_dim = bundle.flat_dim
     print(f"[info] AE latent_tokens={bundle.latent_tokens} "
           f"code_dim={bundle.code_dim} flat_dim={flat_dim}")
@@ -186,7 +192,7 @@ def main() -> None:
                         "summary": str(summary_path)},
         }
         summary_path.write_text(json.dumps(summary, indent=2))
-        return
+        return summary
 
     lengths = np.clip(lengths, args.min_len_clamp,
                       args.max_len_clamp if args.max_len_clamp > 0 else None)
@@ -321,6 +327,11 @@ def main() -> None:
     print(json.dumps(summary["timing_sec"], indent=2))
     print(f"[done] selected={N}, kept={kept}, total_decoded={total_decoded}")
     print(f"[done] outputs: {run_dir}")
+    return summary
+
+
+def main(argv=None) -> dict:
+    return run(parse_args(argv))
 
 
 if __name__ == "__main__":

@@ -234,3 +234,61 @@ def test_downstream_sequence_fold_and_evaluation(flow):
     assert ds["action"] == "evaluation"
     ev = ds["stages"]["evaluation"]["summary"]
     assert ev["status"] == "done"
+
+
+def test_warm_worker_two_tasks_one_process(tiny_ckpt, tmp_path_factory):
+    """--warm_worker mode: two generate tasks run in ONE persistent
+    worker process (pid stable across tasks), both complete, and the
+    second reuses the cached AE bundle (no reload line in its tail)."""
+    from pytorch_vae_tpu.serving.server import serve
+
+    config_path, ckpt_path = tiny_ckpt
+    root = tmp_path_factory.mktemp("warm")
+    n_bank = 24
+    flat = TINY_MODEL["latent_tokens"] * TINY_MODEL["code_dim"]
+    rng = np.random.default_rng(0)
+    np.savez(root / "bank.npz",
+             latents=rng.normal(size=(n_bank, flat)).astype(np.float32),
+             lengths=rng.integers(16, 48, size=n_bank))
+    np.savez(root / "h.npz", h=np.zeros(n_bank, np.float32))
+
+    httpd = serve(
+        "127.0.0.1", 0,
+        defaults={"ae_config": config_path, "ae_ckpt": ckpt_path,
+                  "features_pt": str(root / "bank.npz"),
+                  "ot_h": str(root / "h.npz"),
+                  "out_root": str(root / "runs")},
+        extra_env={"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": None},
+        warm_worker=True)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    state = httpd.state
+
+    try:
+        pids, tails = [], []
+        for seed in (0, 1):
+            code, body = _post(base + "/generate", {
+                "n_generate": 4, "num_gen_x": 512, "ot_bat_size_n": 256,
+                "ot_thresh": 1.5, "min_length": 8, "seed": seed})
+            assert code == 200, body
+            tid = json.loads(body)["task_id"]
+            deadline = time.time() + 420
+            while time.time() < deadline:
+                code, body = _get(f"{base}/tasks/{tid}")
+                task = json.loads(body)
+                if task["status"] in ("done", "failed"):
+                    break
+                time.sleep(1)
+            assert task["status"] == "done", task.get("error", task)
+            assert state._warm_proc is not None
+            assert state._warm_proc.poll() is None  # still alive
+            pids.append(state._warm_proc.pid)
+            tails.append(task.get("stdout_tail", ""))
+            assert Path(task["run_dir"]).joinpath("summary.json").exists()
+        assert pids[0] == pids[1], "worker was not reused across tasks"
+        assert "[info] Loading AE ..." not in tails[1], (
+            "second task reloaded the AE bundle")
+    finally:
+        httpd.shutdown()
+        if state._warm_proc is not None:
+            state._warm_proc.kill()
