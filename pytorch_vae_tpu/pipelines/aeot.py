@@ -19,6 +19,7 @@ Checkpoint interop: `load_latent_bank` / `load_potential` read both our
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -193,6 +194,34 @@ def lifted_normals(P: np.ndarray) -> np.ndarray:
                         1e-12, None)
 
 
+@functools.partial(jax.jit, static_argnames=("bat", "k_neighbors", "source"))
+def _scan_blocks(P, h, nm, cos_th, keys, *, bat, k_neighbors, source):
+    """Device-resident top-k + angular filter over all source blocks.
+
+    Module-level jit with the bank as ARGUMENTS, not closure constants:
+    a per-call inner closure would re-trace and recompile the scan on
+    every request (~12-20 s through the remote-compile relay) and bake
+    the [N, D] bank into each executable. Warm-worker serving hits this
+    cache on every request after the first with the same block geometry.
+    """
+    sample = _source_sampler(source)
+
+    def body(_, k):
+        x = sample(k, (bat, P.shape[1]))
+        u = x @ P.T + h[None, :]
+        _, idx = jax.lax.top_k(u, k_neighbors)            # [bat, k]
+        # pair top-1 with each other neighbor: [bat, k-1, 2]
+        a = jnp.broadcast_to(idx[:, :1, None],
+                             (idx.shape[0], k_neighbors - 1, 1))
+        b = idx[:, 1:, None]
+        pr = jnp.sort(jnp.concatenate([a, b], axis=-1), axis=-1)
+        cs = jnp.sum(nm[a[..., 0]] * nm[b[..., 0]], axis=-1)
+        return None, (pr, cs > cos_th)
+
+    _, (pr, keep) = jax.lax.scan(body, None, keys)
+    return pr.reshape(-1, 2), keep.reshape(-1)
+
+
 def ot_generate_latents(
     ot: SemiDiscreteOT,
     lengths: np.ndarray,
@@ -252,30 +281,13 @@ def ot_generate_latents(
     # may flip; the seeded block-key scheme also changed. Both documented
     # intentional deviations; the reference mixes CPU/GPU RNG anyway,
     # SURVEY.md §7.3 hard part 6.)
-    sample = _source_sampler(ot.source)
-    P_dev = jnp.asarray(ot.P)
-    h_dev = jnp.asarray(ot.h)
-    nm_dev = jnp.asarray(lifted_normals(ot.P), jnp.float32)
-    cos_th = float(np.cos(float(thresh)))
-
-    @jax.jit
-    def _scan_blocks(keys):
-        def body(_, k):
-            x = sample(k, (bat_size_n, ot.dim))
-            u = x @ P_dev.T + h_dev[None, :]
-            _, idx = jax.lax.top_k(u, k_neighbors)            # [bat, k]
-            # pair top-1 with each other neighbor: [bat, k-1, 2]
-            a = jnp.broadcast_to(idx[:, :1, None],
-                                 (idx.shape[0], k_neighbors - 1, 1))
-            b = idx[:, 1:, None]
-            pr = jnp.sort(jnp.concatenate([a, b], axis=-1), axis=-1)
-            cs = jnp.sum(nm_dev[a[..., 0]] * nm_dev[b[..., 0]], axis=-1)
-            return None, (pr, cs > cos_th)
-        _, (pr, keep) = jax.lax.scan(body, None, keys)
-        return pr.reshape(-1, 2), keep.reshape(-1)
-
     key, kpool = jax.random.split(key)
-    pairs_dev, keep_dev = _scan_blocks(jax.random.split(kpool, num_bat))
+    pairs_dev, keep_dev = _scan_blocks(
+        jnp.asarray(ot.P), jnp.asarray(ot.h),
+        jnp.asarray(lifted_normals(ot.P), jnp.float32),
+        jnp.float32(np.cos(float(thresh))),
+        jax.random.split(kpool, num_bat),
+        bat=bat_size_n, k_neighbors=k_neighbors, source=ot.source)
     pairs = np.asarray(pairs_dev)[np.asarray(keep_dev)]  # one host fetch
     pairs = np.unique(pairs, axis=0).T                   # [2, M] canonical
     M = pairs.shape[1]
