@@ -410,3 +410,19 @@ def test_analysis_aggregate_quality_runs(tmp_path):
         "--runs", str(run), str(tmp_path / "empty_run"), "--out", out])
     text = open(out).read()
     assert "| runA | 10 | 8 | 6 | 75.0 | bond_out 2 |" in text
+
+
+def test_analysis_ot_thresh_sweep(arts, potential, tmp_path):
+    out = str(tmp_path / "sweep.json")
+    run_script("analysis/ot_thresh_sweep.py", [
+        "--ae_config", arts["cfg"], "--ae_ckpt", arts["ckpt"],
+        "--features", arts["bank"], "--ot_h", potential,
+        "--out", out, "--thresholds", "0.01", "0.5",
+        "--n_generate", "4", "--num_gen_x", "1000",
+        "--ot_bat_size_n", "1000",
+        "--out_root", str(tmp_path / "runs")])
+    rows = json.load(open(out))["rows"]
+    assert [r["thresh"] for r in rows] == [0.01, 0.5]
+    # looser threshold admits at least as many unique pairs
+    assert rows[1]["candidates"] >= rows[0]["candidates"]
+    assert all(r["kept"] <= r["decoded"] for r in rows)
