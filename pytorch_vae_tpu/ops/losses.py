@@ -71,6 +71,17 @@ class LossStatics:
     # of mix bonds legal yet ~10% of curves rejected on outliers).
     # 0.0 = mean-only (the ft4 recipe).
     mix_max_weight: float = 0.0
+    # weight of the sampled segment-segment clearance hinge inside the
+    # mix term (segment_repulsion_loss; 0.0 = off). The point-repulsion
+    # hinge cannot see segments crossing BETWEEN points — the dominant
+    # residual rejector at full bank diversity (r3_ft6_bankx: 76 of 157
+    # rejects are segment_collision). Margin/exclusion mirror the
+    # filter's segment_clash_count (min_seg_dist 1.3, exclude 1) with a
+    # trained safety margin above the threshold.
+    mix_seg_weight: float = 0.0
+    mix_seg_min_dist: float = 1.8
+    mix_seg_exclude: int = 1
+    mix_seg_samples: int = 3
     # margin (Angstrom) of the min-bond hinge (extension; see bond term)
     bond_hinge_margin: float = 2.5
     # pairwise-repulsion hinge (extension; see pairwise_repulsion_loss):
@@ -282,6 +293,57 @@ def pairwise_repulsion_loss(
     sep_ok = jnp.abs(idx[:, None] - idx[None, :]) > neighbor_exclude
     if mask is not None:
         valid = mask[:, :, None] & mask[:, None, :] & sep_ok[None]
+    else:
+        valid = jnp.broadcast_to(sep_ok[None], hinge.shape)
+    return masked_mean(hinge, valid)
+
+
+def segment_repulsion_loss(
+    xyz: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    min_dist: float,
+    exclude_segments: int,
+    num_samples: int = 3,
+) -> jnp.ndarray:
+    """Squared hinge on sampled segment-segment clearance.
+
+    Framework extension (documented deviation, like the point-repulsion
+    hinge): the training-time counterpart of the AE-OT filter's segment
+    clash check (pipelines/filtering.py::segment_clash_count, reference
+    run_aeot_end2end.py's clash rejection), which samples points along
+    each bond segment and rejects a curve when any non-adjacent segment
+    pair's sampled clouds come within `min_seg_dist`. The point-repulsion
+    term alone cannot see two segments CROSSING between their endpoints
+    — exactly the residual rejector once bonds converge
+    (results/aeot_runs/r3_ft6_bankx: segment_collision 76 of 157).
+
+    Samples `num_samples` points along every segment (endpoints
+    inclusive), then mean over valid sample pairs — both parent segments
+    fully unmasked, segment-index separation > `exclude_segments` — of
+    relu(min_dist - d)^2. The filter fires on the MIN sample-pair
+    distance; hinging every sample pair below the margin is a smooth
+    superset that pushes the same geometry apart.
+
+    Memory: materializes [B, P*S, P*S, 3] (P = L-1 segments). At the
+    quality-run scale (L=96, S=3) that is ~4 MB/sample; at flagship
+    L=350 prefer S=2-3 or keep the term disabled (it is statically
+    compiled out unless its weight is nonzero).
+    """
+    B, L, _ = xyz.shape
+    P = L - 1
+    t = jnp.linspace(0.0, 1.0, num_samples,
+                     dtype=xyz.dtype)[None, None, :, None]  # [1,1,S,1]
+    pts = xyz[:, :-1, None, :] + (
+        xyz[:, 1:, None, :] - xyz[:, :-1, None, :]) * t     # [B,P,S,3]
+    pts = pts.reshape(B, P * num_samples, 3)
+    d = safe_norm(pts[:, :, None, :] - pts[:, None, :, :])  # [B,N,N]
+    hinge = jnp.maximum(jnp.asarray(min_dist, d.dtype) - d, 0.0) ** 2
+    seg = jnp.repeat(jnp.arange(P), num_samples)
+    sep_ok = jnp.abs(seg[:, None] - seg[None, :]) > exclude_segments
+    if mask is not None:
+        seg_valid = mask[:, :-1] & mask[:, 1:]               # [B, P]
+        sv = jnp.repeat(seg_valid, num_samples, axis=1)      # [B, N]
+        valid = sv[:, :, None] & sv[:, None, :] & sep_ok[None]
     else:
         valid = jnp.broadcast_to(sep_ok[None], hinge.shape)
     return masked_mean(hinge, valid)

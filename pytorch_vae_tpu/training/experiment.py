@@ -33,7 +33,8 @@ from ..data.curves import CurveDataset, CurveLoader, default_buckets
 from ..models.quantizer import init_epoch_stats, init_vq_state
 from ..models.vq_vae import VQVAE
 from ..ops import geometry
-from ..ops.losses import LossStatics, curve_loss, pairwise_repulsion_loss
+from ..ops.losses import (LossStatics, curve_loss, pairwise_repulsion_loss,
+                          segment_repulsion_loss)
 from ..ops.masking import masked_mean, pair_mask
 from ..parallel.mesh import make_mesh
 from ..parallel.sharding import batch_sharding, shard_params
@@ -167,6 +168,14 @@ class VQVAEExperiment:
             mix_nearest=bool(self.exp_params.get("mix_nearest", False)),
             mix_max_weight=float(
                 self.exp_params.get("mix_max_weight", 0.0)),
+            mix_seg_weight=float(
+                self.exp_params.get("mix_seg_weight", 0.0)),
+            mix_seg_min_dist=float(
+                self.exp_params.get("mix_seg_min_dist", 1.8)),
+            mix_seg_exclude=int(
+                self.exp_params.get("mix_seg_exclude", 1)),
+            mix_seg_samples=int(
+                self.exp_params.get("mix_seg_samples", 3)),
             repulsion_min_dist=float(
                 self.exp_params.get("repulsion_min_dist", 2.0)),
             repulsion_exclude=int(
@@ -377,9 +386,20 @@ class VQVAEExperiment:
             ld = dict(ld)
             ld["Mix_BondHinge"] = jax.lax.stop_gradient(mix_bond)
             ld["Mix_Repulsion"] = jax.lax.stop_gradient(mix_rep)
+            mix_total = mix_bond + mix_rep
+            if self.statics.mix_seg_weight > 0.0:
+                # segment-clearance hinge: the point hinge cannot see
+                # segments crossing between points (r3_ft6_bankx: 76 of
+                # 157 rejects were segment_collision)
+                mix_seg = segment_repulsion_loss(
+                    xyz, m, self.statics.mix_seg_min_dist,
+                    self.statics.mix_seg_exclude,
+                    self.statics.mix_seg_samples)
+                ld["Mix_SegRepulsion"] = jax.lax.stop_gradient(mix_seg)
+                mix_total = mix_total + (
+                    self.statics.mix_seg_weight * mix_seg)
             ld["loss"] = ld["loss"] + jnp.asarray(
-                weights["mix_geom_weight"], jnp.float32) * (mix_bond
-                                                            + mix_rep)
+                weights["mix_geom_weight"], jnp.float32) * mix_total
         return ld["loss"], (ld, new_vq, new_ep)
 
     def make_train_step(self):

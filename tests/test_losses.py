@@ -13,6 +13,7 @@ from pytorch_vae_tpu.ops.losses import (
     long_range_pdm_loss,
     pairwise_pdm_loss,
     pairwise_repulsion_loss,
+    segment_repulsion_loss,
     smoothed_cross_entropy,
     window_kabsch_loss,
 )
@@ -173,6 +174,80 @@ def test_repulsion_finite_grad_at_coincident_points():
     mask = jnp.ones((1, L), bool)
     grad = jax.grad(
         lambda x: pairwise_repulsion_loss(x, mask, 2.0, 2))(xyz)
+    assert bool(jnp.all(jnp.isfinite(grad)))
+
+
+def test_segment_repulsion_matches_numpy_oracle():
+    """segment_repulsion_loss vs an independent numpy re-derivation of
+    the filter's sampled-segment geometry (filtering.segment_clash_count
+    semantics, hinged)."""
+    key = jax.random.PRNGKey(13)
+    B, L, min_d, excl, S = 3, 14, 1.8, 1, 3
+    xyz = jax.random.normal(key, (B, L, 3)) * 0.7  # cramped: violations
+    mask = jnp.arange(L)[None, :] < jnp.array([L, L - 4, L // 2])[:, None]
+
+    got = float(segment_repulsion_loss(xyz, mask, min_d, excl, S))
+
+    x = np.asarray(xyz, np.float64)
+    m = np.asarray(mask)
+    t = np.linspace(0.0, 1.0, S)[None, :, None]
+    acc, cnt = 0.0, 0
+    for b in range(B):
+        pts = x[b, :-1, None, :] + (x[b, 1:, None, :]
+                                    - x[b, :-1, None, :]) * t  # [P,S,3]
+        seg_ok = m[b, :-1] & m[b, 1:]
+        P = L - 1
+        for i in range(P):
+            for j in range(P):
+                if abs(i - j) <= excl or not (seg_ok[i] and seg_ok[j]):
+                    continue
+                d = np.linalg.norm(pts[i][:, None, :] - pts[j][None, :, :],
+                                   axis=-1)                   # [S, S]
+                acc += float((np.clip(min_d - d, 0.0, None) ** 2).sum())
+                cnt += d.size
+    np.testing.assert_allclose(got, acc / cnt, rtol=1e-5)
+
+
+def test_segment_repulsion_sees_crossing_the_point_hinge_misses():
+    """Two far-apart-endpoint segments crossing at their midpoints:
+    point repulsion is blind (all POINTS are >min_dist apart), the
+    segment term fires — the exact failure mode behind r3_ft6_bankx's
+    segment_collision rejects."""
+    # chain A along x at z=0; chain B along y at z=0.2, crossing above
+    # A's middle segment. All inter-point distances >= 4.
+    a = np.array([[-8, 0, 0], [-4, 0, 0], [4, 0, 0], [8, 0, 0]], np.float32)
+    b = np.array([[0, -8, 0.2], [0, -4, 0.2], [0, 4, 0.2], [0, 8, 0.2]],
+                 np.float32)
+    xyz = jnp.asarray(np.concatenate([a, b])[None])          # [1, 8, 3]
+    mask = jnp.ones((1, 8), bool)
+    assert float(pairwise_repulsion_loss(xyz, mask, 2.0, 2)) == 0.0
+    val, grad = jax.value_and_grad(
+        lambda x: segment_repulsion_loss(x, mask, 1.8, 1, 5))(xyz)
+    assert float(val) > 0.0
+    assert bool(jnp.all(jnp.isfinite(grad)))
+    # a well-spread straight chain incurs exactly zero
+    line = jnp.stack([jnp.arange(12, dtype=jnp.float32) * 4.0,
+                      jnp.zeros(12), jnp.zeros(12)], axis=-1)[None]
+    assert float(segment_repulsion_loss(
+        line, jnp.ones((1, 12), bool), 1.8, 1, 3)) == 0.0
+
+
+def test_segment_repulsion_ignores_padded_garbage():
+    key = jax.random.PRNGKey(17)
+    B, L = 2, 16
+    xyz = jnp.cumsum(jax.random.normal(key, (B, L, 3)), axis=1)
+    mask = jnp.arange(L)[None, :] < jnp.array([L, L - 6])[:, None]
+    base = float(segment_repulsion_loss(xyz, mask, 1.8, 1, 3))
+    poisoned = jnp.where(mask[..., None], xyz, 0.123)  # coincident junk
+    poi = float(segment_repulsion_loss(poisoned, mask, 1.8, 1, 3))
+    np.testing.assert_allclose(base, poi, rtol=1e-5, atol=1e-7)
+
+
+def test_segment_repulsion_finite_grad_at_coincident_points():
+    xyz = jnp.zeros((1, 10, 3))
+    mask = jnp.ones((1, 10), bool)
+    grad = jax.grad(
+        lambda x: segment_repulsion_loss(x, mask, 1.8, 1, 3))(xyz)
     assert bool(jnp.all(jnp.isfinite(grad)))
 
 

@@ -108,6 +108,14 @@ def test_mix_geom_aux_loss_trains(data_dir):
     assert exp_nn.statics.mix_max_weight == 1.0
     for k in ("Mix_BondHinge", "Mix_Repulsion"):
         assert k in ld_nn and np.isfinite(float(ld_nn[k])), k
+    assert "Mix_SegRepulsion" not in ld_nn  # off by default
+    # segment-clearance hinge (opt-in): training-time counterpart of the
+    # filter's segment_clash_count, enabled via mix_seg_weight
+    exp_sg, ld_sg = run({"mix_geom_weight": [[0, 0.5]]}, ae,
+                        mix_nearest=True, mix_seg_weight=1.0)
+    assert exp_sg.statics.mix_seg_weight == 1.0
+    assert "Mix_SegRepulsion" in ld_sg
+    assert np.isfinite(float(ld_sg["Mix_SegRepulsion"]))
     # same seed/data: the aux term must change the post-step params
     # (gradient actually flows through the mix decode pass)
     diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
@@ -317,7 +325,9 @@ def test_sharded_equivalence_mix_geom(data_dir, dp, tp):
     exp0.setup()
     batch = next(iter(exp0.train_loader))
     for over in ({"schedules": sched},
-                 {"schedules": sched, "mix_nearest": True}):
+                 {"schedules": sched, "mix_nearest": True},
+                 {"schedules": sched, "mix_nearest": True,
+                  "mix_seg_weight": 1.0}):
         ref = _flagship_step_diag(
             data_dir, make_mesh(data=1, model=1,
                                 devices=jax.devices()[:1]), batch, **over)
