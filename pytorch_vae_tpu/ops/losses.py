@@ -82,6 +82,12 @@ class LossStatics:
     mix_seg_min_dist: float = 1.8
     mix_seg_exclude: int = 1
     mix_seg_samples: int = 3
+    # per-curve WORST-pair weights inside the mix repulsion terms (the
+    # mix_max_weight pattern applied to collisions): the filter rejects
+    # on the single worst pair, and the mean over ~L^2/2 pairs dilutes
+    # real clashes to ~1e-5 (measured, r3_ft7). 0.0 = mean-only.
+    mix_rep_max_weight: float = 0.0
+    mix_seg_max_weight: float = 0.0
     # margin (Angstrom) of the min-bond hinge (extension; see bond term)
     bond_hinge_margin: float = 2.5
     # pairwise-repulsion hinge (extension; see pairwise_repulsion_loss):
@@ -267,6 +273,7 @@ def pairwise_repulsion_loss(
     mask: Optional[jnp.ndarray],
     min_dist: float,
     neighbor_exclude: int,
+    worst_weight: float = 0.0,
 ) -> jnp.ndarray:
     """Squared hinge on all non-neighbor pairs closer than `min_dist`.
 
@@ -280,6 +287,13 @@ def pairwise_repulsion_loss(
     counterpart of the filter's `min_pairwise_dist`/`neighbor_exclude`
     check: mean over valid pairs (|i-j| > exclude, both ends unmasked)
     of relu(min_dist - d_ij)^2.
+
+    `worst_weight` adds that times the batch-mean of each curve's WORST
+    pair violation. The filter rejects a curve on its single worst pair,
+    which the mean over ~L^2/2 pairs dilutes to noise (measured on
+    r3_ft7 training: Mix_Repulsion ~3e-5 while 1.5% of generated curves
+    still rejected on collisions) — the same dilution mix_max_weight
+    fixes for the bond hinge.
 
     Memory: materializes the [B, L, L, 3] difference tensor (~190 MB
     f32 transient at flagship B=128, L=350) — acceptable because the
@@ -295,7 +309,11 @@ def pairwise_repulsion_loss(
         valid = mask[:, :, None] & mask[:, None, :] & sep_ok[None]
     else:
         valid = jnp.broadcast_to(sep_ok[None], hinge.shape)
-    return masked_mean(hinge, valid)
+    out = masked_mean(hinge, valid)
+    if worst_weight:
+        hv = jnp.where(valid, hinge, 0.0)
+        out = out + worst_weight * jnp.mean(jnp.max(hv, axis=(1, 2)))
+    return out
 
 
 def segment_repulsion_loss(
@@ -304,6 +322,7 @@ def segment_repulsion_loss(
     min_dist: float,
     exclude_segments: int,
     num_samples: int = 3,
+    worst_weight: float = 0.0,
 ) -> jnp.ndarray:
     """Squared hinge on sampled segment-segment clearance.
 
@@ -323,6 +342,12 @@ def segment_repulsion_loss(
     relu(min_dist - d)^2. The filter fires on the MIN sample-pair
     distance; hinging every sample pair below the margin is a smooth
     superset that pushes the same geometry apart.
+
+    `worst_weight` adds that times the batch-mean of each curve's WORST
+    sample-pair violation — without it the mean over ~(P*S)^2/2 pairs
+    dilutes the few real clashes to noise (measured on r3_ft7 training:
+    Mix_SegRepulsion flat at ~4e-5 across 40 epochs while
+    segment_collision stayed the top generation rejector).
 
     Memory: materializes [B, P*S, P*S, 3] (P = L-1 segments). At the
     quality-run scale (L=96, S=3) that is ~4 MB/sample; at flagship
@@ -346,7 +371,11 @@ def segment_repulsion_loss(
         valid = sv[:, :, None] & sv[:, None, :] & sep_ok[None]
     else:
         valid = jnp.broadcast_to(sep_ok[None], hinge.shape)
-    return masked_mean(hinge, valid)
+    out = masked_mean(hinge, valid)
+    if worst_weight:
+        hv = jnp.where(valid, hinge, 0.0)
+        out = out + worst_weight * jnp.mean(jnp.max(hv, axis=(1, 2)))
+    return out
 
 
 def curve_loss(

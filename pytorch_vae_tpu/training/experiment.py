@@ -176,6 +176,10 @@ class VQVAEExperiment:
                 self.exp_params.get("mix_seg_exclude", 1)),
             mix_seg_samples=int(
                 self.exp_params.get("mix_seg_samples", 3)),
+            mix_rep_max_weight=float(
+                self.exp_params.get("mix_rep_max_weight", 0.0)),
+            mix_seg_max_weight=float(
+                self.exp_params.get("mix_seg_max_weight", 0.0)),
             repulsion_min_dist=float(
                 self.exp_params.get("repulsion_min_dist", 2.0)),
             repulsion_exclude=int(
@@ -382,7 +386,8 @@ class VQVAEExperiment:
                     self.statics.mix_max_weight * jnp.mean(worst))
             mix_rep = pairwise_repulsion_loss(
                 xyz, m, self.statics.repulsion_min_dist,
-                self.statics.repulsion_exclude)
+                self.statics.repulsion_exclude,
+                worst_weight=self.statics.mix_rep_max_weight)
             ld = dict(ld)
             ld["Mix_BondHinge"] = jax.lax.stop_gradient(mix_bond)
             ld["Mix_Repulsion"] = jax.lax.stop_gradient(mix_rep)
@@ -394,7 +399,8 @@ class VQVAEExperiment:
                 mix_seg = segment_repulsion_loss(
                     xyz, m, self.statics.mix_seg_min_dist,
                     self.statics.mix_seg_exclude,
-                    self.statics.mix_seg_samples)
+                    self.statics.mix_seg_samples,
+                    worst_weight=self.statics.mix_seg_max_weight)
                 ld["Mix_SegRepulsion"] = jax.lax.stop_gradient(mix_seg)
                 mix_total = mix_total + (
                     self.statics.mix_seg_weight * mix_seg)

@@ -232,6 +232,38 @@ def test_segment_repulsion_sees_crossing_the_point_hinge_misses():
         line, jnp.ones((1, 12), bool), 1.8, 1, 3)) == 0.0
 
 
+def test_repulsion_worst_weight_adds_per_curve_max():
+    """worst_weight composes mean + w*mean_b(max over valid pairs) for
+    BOTH repulsion primitives (the anti-dilution term: the filter
+    rejects on the single worst pair; r3_ft7 measured the plain mean
+    flat at ~1e-5 while collisions kept rejecting)."""
+    key = jax.random.PRNGKey(19)
+    B, L = 3, 14
+    xyz = jax.random.normal(key, (B, L, 3)) * 0.7
+    mask = jnp.arange(L)[None, :] < jnp.array([L, L - 4, L // 2])[:, None]
+
+    for fn, args in ((pairwise_repulsion_loss, (2.0, 2)),
+                     (segment_repulsion_loss, (1.8, 1, 3))):
+        base = float(fn(xyz, mask, *args))
+        got = float(fn(xyz, mask, *args, worst_weight=2.0))
+        assert got > base  # cramped coords guarantee a violation
+        # the added term is exactly 2 * mean_b(max valid hinge): recompute
+        # the max via a masked-out version at worst_weight=0 on each
+        # single-curve slice is awkward; instead check linearity in w
+        got1 = float(fn(xyz, mask, *args, worst_weight=1.0))
+        np.testing.assert_allclose(got - got1, got1 - base,
+                                   rtol=1e-5, atol=1e-8)
+
+    # padded garbage must not enter the max: poison pads with coincident
+    # points and assert invariance
+    poisoned = jnp.where(mask[..., None], xyz, 0.321)
+    for fn, args in ((pairwise_repulsion_loss, (2.0, 2)),
+                     (segment_repulsion_loss, (1.8, 1, 3))):
+        a = float(fn(xyz, mask, *args, worst_weight=1.5))
+        b = float(fn(poisoned, mask, *args, worst_weight=1.5))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
 def test_segment_repulsion_ignores_padded_garbage():
     key = jax.random.PRNGKey(17)
     B, L = 2, 16
