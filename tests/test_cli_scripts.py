@@ -261,6 +261,20 @@ def test_analysis_bond_band_stats(arts, tmp_path):
     assert stats["truth"]["frac_in_band"] > 0.9
 
 
+def test_analysis_vq_sample_quality(arts, tmp_path):
+    out = str(tmp_path / "vq_sample.json")
+    run_script("analysis/vq_sample_quality.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--n", "16", "--batch_size", "8", "--seed", "0",
+        "--min_length", "2", "--out", out])
+    stats = json.load(open(out))
+    assert stats["n_sampled"] == 16
+    assert 0.0 <= stats["keep_rate"] <= 1.0
+    # every sample lands in exactly one bucket
+    assert stats["kept"] + sum(stats["reject_counts"].values()) == 16
+    assert stats["codebook"]["levels"] == MODEL["num_quantizers"]
+
+
 @pytest.mark.parametrize("pairs", ["random", "nearest"])
 def test_analysis_mix_decode_stats(arts, tmp_path, pairs):
     out = str(tmp_path / f"mix_{pairs}.json")
