@@ -261,6 +261,28 @@ def test_analysis_bond_band_stats(arts, tmp_path):
     assert stats["truth"]["frac_in_band"] > 0.9
 
 
+def test_analysis_decoded_diversity(arts, tmp_path):
+    gen = tmp_path / "gen"
+    gen.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        xyz = np.cumsum(rng.normal(size=(20, 3)) * 3.8, axis=0)
+        ss = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 20)]
+        np.save(gen / f"c{i}.npy",
+                np.concatenate([xyz, ss], -1).astype(np.float32))
+    out = str(tmp_path / "div.json")
+    run_script("analysis/decoded_diversity.py", [
+        "--run_dir", str(gen), "--ref_npy_dir", str(gen),
+        "--n", "6", "--ref_n", "6", "--resample", "16", "--out", out])
+    stats = json.load(open(out))
+    assert stats["n_curves"] == 6
+    assert stats["diversity"]["mean_pairwise_rmsd"] > 0.0
+    # each curve's nearest ref is itself (same dir) -> novelty ~0,
+    # everything counts as memorized
+    assert stats["novelty_vs_ref"]["mean_nn_rmsd"] < 1e-6
+    assert stats["novelty_vs_ref"]["frac_memorized_lt_0p5"] == 1.0
+
+
 def test_analysis_vq_sample_quality(arts, tmp_path):
     out = str(tmp_path / "vq_sample.json")
     run_script("analysis/vq_sample_quality.py", [
