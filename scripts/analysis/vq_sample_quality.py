@@ -67,8 +67,8 @@ def main() -> None:
     ds = CurveDataset(
         dp["npy_dir"],
         list_path=cfglib.resolve_path(dp["npy_dir"], list_name))
-    true_lens = np.asarray([ds[i][0].shape[0] for i in range(len(ds))],
-                           np.int64)
+    true_lens = np.asarray([ds[i].shape[0] for i in range(len(ds))],
+                           np.int64)  # ds[i] is the [L, 6] curve itself
 
     rng = np.random.default_rng(args.seed)
     lengths = rng.choice(true_lens, size=args.n, replace=True)
