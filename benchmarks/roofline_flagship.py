@@ -238,6 +238,9 @@ def main() -> None:
         },
         "floors_ms_measured_peaks": meas,
         "headroom_vs_measured": measured_ms / meas["roofline"],
+        # the step itself as a bandwidth benchmark: effective HBM
+        # throughput implied by XLA's traffic accounting
+        "effective_gbps": bytes_acc / (measured_ms / 1e3) / 1e9,
     }
     if spec:
         sp = floors(*spec)
