@@ -47,6 +47,13 @@ def main() -> None:
                     help="filter's minimum length gate (fixtures use "
                          "shorter curves)")
     ap.add_argument("--out", type=str, default="")
+    ap.add_argument("--prior_dir", type=str, default="",
+                    help="trained code prior (scripts/train_code_prior.py "
+                         "artifact); when set, codes are sampled from the "
+                         "learned autoregressive prior instead of uniformly "
+                         "— same decode/filter/stats, directly comparable")
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--top_k", type=int, default=0)
     args = ap.parse_args()
 
     from pytorch_vae_tpu import config as cfglib
@@ -77,20 +84,51 @@ def main() -> None:
     K = int(m.codebook_size)
     Q = int(m.num_quantizers) if m.is_residual else 1
 
+    prior_sample = None
+    if args.prior_dir:
+        import jax
+        import jax.numpy as jnp
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))))
+        from sample_code_prior import load_prior  # noqa: E402
+
+        from pytorch_vae_tpu.models.code_prior import sample_codes
+        pm, pvars, pmeta = load_prior(args.prior_dir)
+        assert (pm.num_q, pm.k_per, pm.n_tokens) == \
+            (Q, K, bundle.latent_tokens), (
+                "prior/model shape mismatch",
+                (pm.num_q, pm.k_per, pm.n_tokens),
+                (Q, K, bundle.latent_tokens))
+        jit_sample = jax.jit(lambda k, l: sample_codes(
+            pm, pvars, k, l, temperature=args.temperature,
+            top_k=args.top_k))
+        pkey = jax.random.PRNGKey(args.seed)
+
+        def prior_sample(ls):
+            nonlocal pkey
+            pkey, sub = jax.random.split(pkey)
+            flat = np.asarray(jit_sample(sub, jnp.asarray(ls)))  # [B, M*Q]
+            # token-major global flat -> summed code vectors [B, M, D]
+            return emb[flat.reshape(len(ls), bundle.latent_tokens, Q)
+                       ].sum(axis=2).astype(np.float32)
+
     params = end2end_params(min_length=args.min_length)
     kept, rejects = 0, {r: 0 for r in REJECT_REASONS}
     kept_curves = []
     for lo in range(0, args.n, args.batch_size):
         ls = lengths[lo: lo + args.batch_size]
         B = len(ls)
-        # one random code per level, summed (VQVAE.sample semantics,
-        # reference models/vq_vae.py:1403-1414) — host-side so the tool
-        # runs on any backend without tracing the sample method
-        z_q = np.zeros((B, bundle.latent_tokens, bundle.code_dim),
-                       np.float32)
-        for lvl in range(Q):
-            idx = rng.integers(0, K, size=(B, bundle.latent_tokens))
-            z_q += emb[lvl * K: (lvl + 1) * K][idx]
+        if prior_sample is not None:
+            z_q = prior_sample(ls)
+        else:
+            # one random code per level, summed (VQVAE.sample semantics,
+            # reference models/vq_vae.py:1403-1414) — host-side so the
+            # tool runs on any backend without tracing the sample method
+            z_q = np.zeros((B, bundle.latent_tokens, bundle.code_dim),
+                           np.float32)
+            for lvl in range(Q):
+                idx = rng.integers(0, K, size=(B, bundle.latent_tokens))
+                z_q += emb[lvl * K: (lvl + 1) * K][idx]
         curves = bundle.decode_curve6(
             z_q, ls, pad_to=int(m.max_seq_len))
         for c in curves:
@@ -106,6 +144,9 @@ def main() -> None:
         "config": args.config,
         "ckpt": args.ckpt,
         "n_sampled": args.n,
+        "sampler": ({"prior_dir": args.prior_dir,
+                     "temperature": args.temperature, "top_k": args.top_k}
+                    if args.prior_dir else "uniform"),
         "codebook": {"levels": Q, "codes_per_level": K,
                      "bits_per_curve":
                          int(bundle.latent_tokens * Q * np.log2(K))},

@@ -297,6 +297,32 @@ def test_analysis_vq_sample_quality(arts, tmp_path):
     assert stats["codebook"]["levels"] == MODEL["num_quantizers"]
 
 
+def test_code_prior_pipeline(arts, tmp_path):
+    """Full learned-prior path: real extracted indices -> trained prior
+    -> prior-sampled vq_sample_quality, same filter/stats as the uniform
+    arm (the new unconditional generation path; uniform baseline keeps
+    0-1.2%, results/mixstats_r3/vqsample_*.json)."""
+    prior_dir = str(tmp_path / "prior")
+    run_script("train_code_prior.py", [
+        "--codes_dir", arts["codes"], "--out", prior_dir,
+        "--epochs", "2", "--batch", "4", "--d_model", "32",
+        "--n_layers", "1", "--n_heads", "2"])
+    meta = json.load(open(os.path.join(prior_dir, "meta.json")))
+    assert meta["model"]["num_q"] == MODEL["num_quantizers"]
+    assert meta["model"]["k_per"] == MODEL["codebook_size"]
+    assert meta["model"]["n_tokens"] == MODEL["latent_tokens"]
+
+    out = str(tmp_path / "vq_prior.json")
+    run_script("analysis/vq_sample_quality.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--n", "8", "--batch_size", "8", "--seed", "0",
+        "--min_length", "2", "--prior_dir", prior_dir,
+        "--temperature", "0.9", "--out", out])
+    stats = json.load(open(out))
+    assert stats["sampler"]["prior_dir"] == prior_dir
+    assert stats["kept"] + sum(stats["reject_counts"].values()) == 8
+
+
 @pytest.mark.parametrize("pairs", ["random", "nearest"])
 def test_analysis_mix_decode_stats(arts, tmp_path, pairs):
     out = str(tmp_path / f"mix_{pairs}.json")
