@@ -128,6 +128,18 @@ class ServerState:
         cmd = [
             self.python, str(REPO_ROOT / "scripts" / "run_aeot_end2end.py"),
             "--ae_config", str(p["ae_config"]),
+        ]
+        if p.get("prior_dir"):
+            # learned code-prior sampling (stage-2 models): replaces the
+            # OT stage, scripts/run_aeot_end2end.py --prior_dir
+            cmd += [
+                "--prior_dir", str(p["prior_dir"]),
+                "--prior_temperature",
+                str(float(p.get("prior_temperature", 1.0))),
+                "--prior_top_k", str(int(p.get("prior_top_k", 0))),
+            ]
+        else:
+            cmd += [
             "--ae_ckpt", str(p["ae_ckpt"]),
             "--features_pt", str(p["features_pt"]),
             "--ot_h", str(p["ot_h"]),

@@ -49,10 +49,20 @@ def parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ae_config", type=str, required=True)
     ap.add_argument("--ae_ckpt", type=str, required=True)
-    ap.add_argument("--features_pt", type=str, required=True,
-                    help="latent bank (.npz or reference .pt)")
-    ap.add_argument("--ot_h", type=str, required=True,
-                    help="OT potential (.npz or reference h.pt)")
+    ap.add_argument("--features_pt", type=str, default="",
+                    help="latent bank (.npz or reference .pt); required "
+                         "unless --prior_dir selects the code-prior path")
+    ap.add_argument("--ot_h", type=str, default="",
+                    help="OT potential (.npz or reference h.pt); required "
+                         "unless --prior_dir selects the code-prior path")
+    # learned code-prior sampler (stage-2 models; replaces the OT stage
+    # with autoregressive code sampling — scripts/train_code_prior.py)
+    ap.add_argument("--prior_dir", type=str, default="",
+                    help="trained code-prior artifact dir; when set, "
+                         "candidates come from prior-sampled RVQ codes "
+                         "instead of OT-interpolated bank latents")
+    ap.add_argument("--prior_temperature", type=float, default=1.0)
+    ap.add_argument("--prior_top_k", type=int, default=0)
     ap.add_argument("--out_root", type=str, required=True)
     ap.add_argument("--run_name", type=str, default="")
     ap.add_argument("--n_generate", type=int, required=True)
@@ -159,22 +169,72 @@ def run(args, bundle=None) -> dict:
     t_backend_init = time.time() - t_init0
     print(f"[info] device backend ready in {t_backend_init:.1f}s")
 
-    # 1) OT generate latents ONCE
+    # 1) candidate latents ONCE: OT interpolation (default) or the
+    # learned code prior (--prior_dir: sample legal RVQ sequences, map
+    # through the codebook — the unconditional path uniform sampling
+    # can't provide, see models/code_prior.py)
     t_ot0 = time.time()
-    bank = load_latent_bank(args.features_pt)
-    P = np.asarray(bank[args.latent_key], np.float32)
-    lengths_bank = np.asarray(bank["lengths"]).reshape(-1)
-    h = load_potential(args.ot_h, n=P.shape[0])
-    ot = SemiDiscreteOT(P=P, h=h, source=args.ot_source)
-    ot_out = ot_generate_latents(
-        ot, lengths_bank, int(args.num_gen_x), int(args.ot_bat_size_n),
-        float(args.ot_thresh), jax.random.PRNGKey(args.seed),
-        k_neighbors=int(args.ot_topk),
-        samples_per_pair=int(args.ot_samples_per_pair))
-    t_ot1 = time.time()
+    if args.prior_dir:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from sample_code_prior import load_prior
 
-    z_in = ot_out["latents"]
-    lengths = ot_out["lengths"]
+        from pytorch_vae_tpu.models.code_prior import sample_codes
+
+        if bundle.vq_state is None:
+            raise RuntimeError("--prior_dir needs a stage-2 (VQ) model")
+        pm, pvars, pmeta = load_prior(args.prior_dir)
+        Qn = int(bundle.model.num_quantizers)
+        if (pm.num_q, pm.k_per, pm.n_tokens) != (
+                Qn, int(bundle.model.codebook_size), bundle.latent_tokens):
+            raise RuntimeError(
+                f"prior/model mismatch: prior (Q={pm.num_q}, K={pm.k_per}, "
+                f"M={pm.n_tokens}) vs model (Q={Qn}, "
+                f"K={int(bundle.model.codebook_size)}, "
+                f"M={bundle.latent_tokens})")
+        emb = np.asarray(bundle.vq_state.embedding)
+        hist = np.asarray(pmeta["length_hist"], np.float64)
+        rng = np.random.default_rng(args.seed)
+        n_cand = int(args.n_generate)
+        lengths = rng.choice(len(hist), size=n_cand,
+                             p=hist / hist.sum()).astype(np.int64)
+        jit_sample = jax.jit(lambda k, l: sample_codes(
+            pm, pvars, k, l, temperature=args.prior_temperature,
+            top_k=args.prior_top_k))
+        key = jax.random.PRNGKey(args.seed)
+        chunks = []
+        cb = 256  # fixed chunk so the sampler compiles once (pad last)
+        for i0 in range(0, n_cand, cb):
+            ls = lengths[i0:i0 + cb]
+            pad = cb - len(ls)
+            ls_p = (np.concatenate([ls, np.full(pad, int(ls[-1]),
+                                                np.int64)])
+                    if pad else ls)
+            key, sub = jax.random.split(key)
+            flat = np.asarray(jit_sample(sub, ls_p))[: len(ls)]
+            # token-major global flat -> summed code vectors [B, M, D]
+            chunks.append(
+                emb[flat.reshape(len(ls), bundle.latent_tokens, Qn)]
+                .sum(axis=2).astype(np.float32))
+        z_in = np.concatenate(chunks).reshape(n_cand, -1)
+        print(f"[info] code prior sampled {n_cand} candidates "
+              f"(T={args.prior_temperature}, top_k={args.prior_top_k})")
+    else:
+        if not args.features_pt or not args.ot_h:
+            raise SystemExit(
+                "--features_pt and --ot_h are required without --prior_dir")
+        bank = load_latent_bank(args.features_pt)
+        P = np.asarray(bank[args.latent_key], np.float32)
+        lengths_bank = np.asarray(bank["lengths"]).reshape(-1)
+        h = load_potential(args.ot_h, n=P.shape[0])
+        ot = SemiDiscreteOT(P=P, h=h, source=args.ot_source)
+        ot_out = ot_generate_latents(
+            ot, lengths_bank, int(args.num_gen_x), int(args.ot_bat_size_n),
+            float(args.ot_thresh), jax.random.PRNGKey(args.seed),
+            k_neighbors=int(args.ot_topk),
+            samples_per_pair=int(args.ot_samples_per_pair))
+        z_in = ot_out["latents"]
+        lengths = ot_out["lengths"]
+    t_ot1 = time.time()
     if z_in.shape[1] != flat_dim:
         raise RuntimeError(f"Latent dim mismatch: OT D={z_in.shape[1]} vs "
                            f"AE expected {flat_dim}")
@@ -243,6 +303,10 @@ def run(args, bundle=None) -> dict:
         "ae_ckpt": str(args.ae_ckpt),
         "features_pt": str(args.features_pt), "ot_h": str(args.ot_h),
     }
+    if args.prior_dir:
+        prov["sampler"] = {"prior_dir": str(args.prior_dir),
+                           "temperature": float(args.prior_temperature),
+                           "top_k": int(args.prior_top_k)}
 
     # 3) decode + filter, single streaming pass. The O(L^2) geometric
     # filter is host-side numpy; it runs on a single worker thread so
