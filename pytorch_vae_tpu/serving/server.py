@@ -129,6 +129,20 @@ class ServerState:
             self.python, str(REPO_ROOT / "scripts" / "run_aeot_end2end.py"),
             "--ae_config", str(p["ae_config"]),
         ]
+        # common args: run_aeot_end2end.py needs these in BOTH sampling
+        # modes (--ae_ckpt/--out_root/--n_generate are required=True and
+        # the VQ bundle loads from ae_ckpt even on the prior path)
+        cmd += [
+            "--ae_ckpt", str(p["ae_ckpt"]),
+            "--out_root", str(p["out_root"]),
+            "--run_name", t.task_id,
+            "--n_generate", str(int(p.get("n_generate", 1000))),
+            "--min_length", str(int(p.get("min_length", 32))),
+            "--min_pairwise_dist",
+            str(float(p.get("min_pairwise_dist", 2.0))),
+            "--neighbor_exclude", str(int(p.get("neighbor_exclude", 2))),
+            "--seed", str(int(p.get("seed", 0))),
+        ]
         if p.get("prior_dir"):
             # learned code-prior sampling (stage-2 models): replaces the
             # OT stage, scripts/run_aeot_end2end.py --prior_dir
@@ -140,24 +154,15 @@ class ServerState:
             ]
         else:
             cmd += [
-            "--ae_ckpt", str(p["ae_ckpt"]),
-            "--features_pt", str(p["features_pt"]),
-            "--ot_h", str(p["ot_h"]),
-            "--out_root", str(p["out_root"]),
-            "--run_name", t.task_id,
-            "--n_generate", str(int(p.get("n_generate", 1000))),
-            "--num_gen_x", str(int(p.get("num_gen_x", 50000))),
-            "--ot_bat_size_n", str(int(p.get("ot_bat_size_n", 10000))),
-            "--ot_thresh", str(float(p.get("ot_thresh", 0.3))),
-            "--ot_topk", str(int(p.get("ot_topk", 2))),
-            "--ot_samples_per_pair",
-            str(int(p.get("ot_samples_per_pair", 1))),
-            "--min_length", str(int(p.get("min_length", 32))),
-            "--min_pairwise_dist",
-            str(float(p.get("min_pairwise_dist", 2.0))),
-            "--neighbor_exclude", str(int(p.get("neighbor_exclude", 2))),
-            "--seed", str(int(p.get("seed", 0))),
-        ]
+                "--features_pt", str(p["features_pt"]),
+                "--ot_h", str(p["ot_h"]),
+                "--num_gen_x", str(int(p.get("num_gen_x", 50000))),
+                "--ot_bat_size_n", str(int(p.get("ot_bat_size_n", 10000))),
+                "--ot_thresh", str(float(p.get("ot_thresh", 0.3))),
+                "--ot_topk", str(int(p.get("ot_topk", 2))),
+                "--ot_samples_per_pair",
+                str(int(p.get("ot_samples_per_pair", 1))),
+            ]
         if p.get("select_random", True):
             cmd.append("--select_random")
         return cmd

@@ -94,11 +94,12 @@ def main() -> None:
 
         from pytorch_vae_tpu.models.code_prior import sample_codes
         pm, pvars, pmeta = load_prior(args.prior_dir)
-        assert (pm.num_q, pm.k_per, pm.n_tokens) == \
-            (Q, K, bundle.latent_tokens), (
-                "prior/model shape mismatch",
-                (pm.num_q, pm.k_per, pm.n_tokens),
-                (Q, K, bundle.latent_tokens))
+        if (pm.num_q, pm.k_per, pm.n_tokens) != \
+                (Q, K, bundle.latent_tokens):
+            raise RuntimeError(
+                "prior/model shape mismatch: prior %r vs model %r" % (
+                    (pm.num_q, pm.k_per, pm.n_tokens),
+                    (Q, K, bundle.latent_tokens)))
         jit_sample = jax.jit(lambda k, l: sample_codes(
             pm, pvars, k, l, temperature=args.temperature,
             top_k=args.top_k))
@@ -107,10 +108,18 @@ def main() -> None:
         def prior_sample(ls):
             nonlocal pkey
             pkey, sub = jax.random.split(pkey)
+            # pad a final partial batch to batch_size (repeat last length)
+            # so jit_sample sees ONE static shape — a shape change would
+            # recompile, costly on the remote-compile axon backend
+            # (mirrors run_aeot_end2end.py's fixed-chunk sampling)
+            n = len(ls)
+            if n < args.batch_size:
+                ls = np.concatenate(
+                    [ls, np.full(args.batch_size - n, ls[-1], ls.dtype)])
             flat = np.asarray(jit_sample(sub, jnp.asarray(ls)))  # [B, M*Q]
             # token-major global flat -> summed code vectors [B, M, D]
             return emb[flat.reshape(len(ls), bundle.latent_tokens, Q)
-                       ].sum(axis=2).astype(np.float32)
+                       ].sum(axis=2).astype(np.float32)[:n]
 
     params = end2end_params(min_length=args.min_length)
     kept, rejects = 0, {r: 0 for r in REJECT_REASONS}

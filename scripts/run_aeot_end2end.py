@@ -235,6 +235,8 @@ def run(args, bundle=None) -> dict:
         z_in = ot_out["latents"]
         lengths = ot_out["lengths"]
     t_ot1 = time.time()
+    # timing bucket named by the stage that actually ran
+    stage_key = "prior_sampling" if args.prior_dir else "ot"
     if z_in.shape[1] != flat_dim:
         raise RuntimeError(f"Latent dim mismatch: OT D={z_in.shape[1]} vs "
                            f"AE expected {flat_dim}")
@@ -246,7 +248,7 @@ def run(args, bundle=None) -> dict:
             "kept": 0, "reject_counts": {},
             "timing_sec": {"backend_init": t_backend_init,
                            "total": time.time() - t0,
-                           "ot": t_ot1 - t_ot0},
+                           stage_key: t_ot1 - t_ot0},
             "outputs": {"filtered_dir": str(filtered_dir),
                         "filtered_manifest": str(manifest_path),
                         "summary": str(summary_path)},
@@ -294,19 +296,23 @@ def run(args, bundle=None) -> dict:
 
     kept = total_decoded = 0
     reject_counts = {k: 0 for k in filtering.REJECT_REASONS}
-    prov = {
-        "ot_thresh": float(args.ot_thresh),
-        "num_gen_x": int(args.num_gen_x),
-        "ot_bat_size_n": int(args.ot_bat_size_n),
-        "ot_topk": int(args.ot_topk),
-        "ot_samples_per_pair": int(args.ot_samples_per_pair),
-        "ae_ckpt": str(args.ae_ckpt),
-        "features_pt": str(args.features_pt), "ot_h": str(args.ot_h),
-    }
+    prov = {"ae_ckpt": str(args.ae_ckpt)}
     if args.prior_dir:
+        # prior path: no OT stage ran — record only sampler provenance
+        # (OT-only fields here would mislead A/B comparisons of the
+        # committed summary JSONs)
         prov["sampler"] = {"prior_dir": str(args.prior_dir),
                            "temperature": float(args.prior_temperature),
                            "top_k": int(args.prior_top_k)}
+    else:
+        prov.update({
+            "ot_thresh": float(args.ot_thresh),
+            "num_gen_x": int(args.num_gen_x),
+            "ot_bat_size_n": int(args.ot_bat_size_n),
+            "ot_topk": int(args.ot_topk),
+            "ot_samples_per_pair": int(args.ot_samples_per_pair),
+            "features_pt": str(args.features_pt), "ot_h": str(args.ot_h),
+        })
 
     # 3) decode + filter, single streaming pass. The O(L^2) geometric
     # filter is host-side numpy; it runs on a single worker thread so
@@ -374,7 +380,7 @@ def run(args, bundle=None) -> dict:
         "total_decoded": total_decoded,
         "reject_counts": reject_counts,
         "timing_sec": {"backend_init": t_backend_init,
-                       "ot": t_ot1 - t_ot0,
+                       stage_key: t_ot1 - t_ot0,
                        "decode_filter": t_df1 - t_df0,
                        "total": time.time() - t0},
         "outputs": {

@@ -156,3 +156,44 @@ def test_downstream_rejects_bad_stage(server):
     assert code == 404
     code, _ = _post(server + "/tasks/deadbeef/run-evaluation", {})
     assert code == 404
+
+
+# ---------------------------------------------------------------------
+# _build_cmd must produce argv that run_aeot_end2end.py's argparse
+# accepts in BOTH sampling modes (the prior path once omitted required
+# --ae_ckpt/--out_root/--n_generate and argparse exited 2, failing
+# every prior-path serving request).
+def _parse_built_cmd(params):
+    import importlib.util
+
+    from pytorch_vae_tpu.serving.server import REPO_ROOT, ServerState, \
+        TaskState
+
+    st = ServerState(defaults={"ae_config": "cfg.yaml",
+                               "ae_ckpt": "ckpt/last",
+                               "out_root": "results/api_runs",
+                               "features_pt": "bank.npz", "ot_h": "h.npz"})
+    cmd = st._build_cmd(TaskState("tid", "generate", params))
+    spec = importlib.util.spec_from_file_location(
+        "run_aeot_end2end", REPO_ROOT / "scripts" / "run_aeot_end2end.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.parse_args(cmd[2:])  # strip python + script path
+
+
+def test_build_cmd_ot_path_parses():
+    args = _parse_built_cmd({"n_generate": 7, "seed": 3})
+    assert args.ae_ckpt == "ckpt/last" and args.n_generate == 7
+    assert args.features_pt == "bank.npz" and not args.prior_dir
+
+
+def test_build_cmd_prior_path_parses():
+    args = _parse_built_cmd({"prior_dir": "results/prior",
+                             "prior_top_k": 8, "n_generate": 5})
+    # required-in-both-modes args must survive the prior branch
+    assert args.ae_ckpt == "ckpt/last"
+    assert args.out_root == "results/api_runs"
+    assert args.n_generate == 5
+    assert args.prior_dir == "results/prior" and args.prior_top_k == 8
+    # OT-only args stay at argparse defaults (not emitted)
+    assert args.features_pt == "" and args.ot_h == ""
