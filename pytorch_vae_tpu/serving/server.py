@@ -396,12 +396,28 @@ class ServerState:
 
     def downstream_pdb(self, t: TaskState, rel: str) -> Dict:
         p = self._downstream_pdb_path(t, rel)
-        trace = pdb_utils.parse_pdb_ca_trace(p.read_text(errors="ignore"))
+        text = p.read_text(errors="ignore")
+        trace = pdb_utils.parse_pdb_ca_trace(text)
         xyz = trace["xyz"]
-        return {"path": str(p), "name": p.name, "length": int(len(xyz)),
-                "xyz": xyz.tolist(),
-                "ss_idx": pdb_utils.assign_ss_from_xyz(xyz)
-                .astype(int).tolist()}
+        out = {"path": str(p), "name": p.name, "length": int(len(xyz)),
+               "xyz": xyz.tolist(),
+               "ss_idx": pdb_utils.assign_ss_from_xyz(xyz)
+               .astype(int).tolist()}
+        # full-atom payload for the canvas stick renderer (the reference
+        # ships raw PDB text to client-side 3Dmol.js instead,
+        # api/web/index.html:861,1085) — only when the file actually has
+        # non-CA atoms (backbone/folded stages), to keep CA-trace
+        # payloads small
+        atoms = pdb_utils.parse_pdb_atoms(text)
+        if len(atoms["xyz"]) > len(xyz):
+            out["atoms"] = {
+                "xyz": np.round(atoms["xyz"], 3).tolist(),
+                "elements": atoms["elements"].tolist(),
+                "res_idx": atoms["res_idx"].tolist(),
+                "bfactor": np.round(atoms["bfactor"], 2).tolist(),
+                "bonds": atoms["bonds"].tolist(),
+            }
+        return out
 
     def downstream_pdb_text(self, t: TaskState, rel: str) -> str:
         return self._downstream_pdb_path(t, rel).read_text(errors="ignore")

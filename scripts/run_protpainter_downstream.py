@@ -138,12 +138,16 @@ def stage_sequence_fold(out_dir: Path, mock: bool) -> dict:
 
         def mock_fold(**_):
             trace = pdb_utils.parse_pdb_ca_trace(bb.read_text())["xyz"]
-            xyz = trace + np.random.default_rng(1).normal(
-                scale=0.3, size=trace.shape)
+            rng = np.random.default_rng(1)
+            xyz = trace + rng.normal(scale=0.3, size=trace.shape)
+            # full-backbone output with per-residue pLDDT in the b-factor
+            # column, like real OmegaFold/AlphaFold PDBs — exercises the
+            # serving layer's full-atom parse/render path
+            plddt = np.clip(rng.normal(82.5, 6.0, len(xyz)), 30.0, 99.0)
             (out_dir / f"{name}_folded.pdb").write_text(
-                pdb_utils.write_pdb_ca_trace(xyz))
+                pdb_utils.write_pdb_backbone(xyz, plddt=plddt))
             (out_dir / f"{name}_plddt.json").write_text(
-                json.dumps({"plddt_mean": 82.5}))
+                json.dumps({"plddt_mean": float(plddt.mean())}))
             return "mock-omegafold"
 
         run_tool("omegafold", mock, mock_fold,

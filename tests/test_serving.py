@@ -130,7 +130,8 @@ def test_web_ui_tube_renderer_present(server):
     with urllib.request.urlopen(server + "/") as r:
         html = r.read().decode()
     for sym in ("smoothCurve", "ptFrames", "tubeTriangles", "SS_PROFILE",
-                "tubetoggle", "quads.sort"):
+                "tubetoggle", "items.sort", "ELEM_COLORS", "plddtColor",
+                "renderEvalTable"):
         assert sym in html, sym
 
 
@@ -197,3 +198,65 @@ def test_build_cmd_prior_path_parses():
     assert args.prior_dir == "results/prior" and args.prior_top_k == 8
     # OT-only args stay at argparse defaults (not emitted)
     assert args.features_pt == "" and args.ot_h == ""
+
+
+# ---------------------------------------------------------------------
+# full-atom parse / bond inference / backbone writer (the canvas stick
+# renderer's data path — reference ships raw PDB text to 3Dmol.js,
+# api/web/index.html:861,1085)
+def test_parse_pdb_atoms_and_bonds_roundtrip():
+    ca = _helix_xyz(20)
+    plddt = np.linspace(45.0, 95.0, 20)
+    text = pdb_utils.write_pdb_backbone(ca, plddt=plddt)
+    atoms = pdb_utils.parse_pdb_atoms(text)
+    n = len(ca)
+    assert len(atoms["xyz"]) == 4 * n            # N, CA, C, O per residue
+    assert set(atoms["elements"]) == {"N", "C", "O"}
+    # the CA trace written survives the CA parser unchanged
+    tr = pdb_utils.parse_pdb_ca_trace(text)
+    assert np.abs(tr["xyz"] - ca).max() < 1e-2
+    # pLDDT travels via the b-factor column (rounded to 2 decimals)
+    ca_rows = atoms["names"] == "CA"
+    assert np.abs(atoms["bfactor"][ca_rows] - plddt).max() < 0.01
+    # bond graph is exactly the backbone graph: 3 intra-residue bonds
+    # per residue + n-1 peptide C-N links
+    assert len(atoms["bonds"]) == 3 * n + (n - 1)
+    kinds = set()
+    for i, j in atoms["bonds"]:
+        kinds.add((str(atoms["names"][i]), str(atoms["names"][j]),
+                   int(atoms["res_idx"][j] - atoms["res_idx"][i])))
+    assert kinds == {("N", "CA", 0), ("CA", "C", 0), ("C", "O", 0),
+                     ("C", "N", 1)}
+
+
+def test_parse_pdb_atoms_skips_hydrogens_and_altlocs():
+    text = (
+        "ATOM      1  N   GLY A   1       0.000   0.000   0.000"
+        "  1.00 50.00           N\n"
+        "ATOM      2  CA AGLY A   1       1.460   0.000   0.000"
+        "  1.00 50.00           C\n"
+        "ATOM      3  CA BGLY A   1       9.000   9.000   9.000"
+        "  1.00 50.00           C\n"
+        "ATOM      4  H   GLY A   1       0.500   0.900   0.000"
+        "  1.00 50.00           H\n")
+    atoms = pdb_utils.parse_pdb_atoms(text)
+    assert list(atoms["names"]) == ["N", "CA"]   # altloc B + H dropped
+    assert atoms["bonds"].tolist() == [[0, 1]]
+
+
+def test_infer_bonds_requires_sequence_adjacency():
+    # two SPATIALLY CLOSE dipeptides with non-adjacent residue ids
+    # (a chain break): bonds must not cross the sequence gap even when
+    # atoms sit within covalent distance of each other
+    ca = np.array([[0, 0, 0], [3.8, 0, 0]], float)
+    t1 = pdb_utils.write_pdb_backbone(ca)
+    t2 = pdb_utils.write_pdb_backbone(ca + np.array([0.0, 1.4, 0.0]))
+    t2 = t2.replace("A   1", "A   7").replace("A   2", "A   8")
+    atoms = pdb_utils.parse_pdb_atoms(t1.replace("END", "") + t2)
+    # sanity: the gap really is within covalent range somewhere
+    d = np.linalg.norm(atoms["xyz"][None] - atoms["xyz"][:, None], axis=-1)
+    gap = (atoms["res_ids"][None] >= 7) != (atoms["res_ids"][:, None] >= 7)
+    assert (d[gap] < 1.9).any()
+    for i, j in atoms["bonds"]:
+        assert abs(int(atoms["res_ids"][j]) - int(atoms["res_ids"][i])) <= 1
+        assert (atoms["res_ids"][i] >= 7) == (atoms["res_ids"][j] >= 7)

@@ -234,6 +234,34 @@ def test_downstream_sequence_fold_and_evaluation(flow):
     assert ds["action"] == "evaluation"
     ev = ds["stages"]["evaluation"]["summary"]
     assert ev["status"] == "done"
+    # per-structure metric rows feed the web UI evaluation table
+    assert ev["per_curve"] and "aggregate" in ev
+    for row in ev["per_curve"]:
+        assert row["plddt_mean"] is not None
+
+    # folded outputs are full-backbone PDBs: the downstream-pdb route
+    # must ship the atom-level payload (stick renderer data path)
+    name = ev["per_curve"][0]["name"]
+    q = urllib.parse.quote(f"{name}_folded.pdb")
+    code, body = _get(f"{base}/tasks/{tid}/downstream-pdb?path={q}")
+    assert code == 200
+    payload = json.loads(body)
+    atoms = payload["atoms"]
+    n_res = payload["length"]
+    assert len(atoms["xyz"]) == 4 * n_res        # N, CA, C, O
+    # intra-residue bonds (N-CA, CA-C, C-O) are placed at ideal covalent
+    # distances by write_pdb_backbone, so inference always recovers all
+    # 3*n of them; the mock decode's arbitrary-scale CA trace may add
+    # extra legitimate close contacts, so no exact upper bound here
+    # (the clean-geometry exact-graph case is tests/test_serving.py::
+    # test_parse_pdb_atoms_and_bonds_roundtrip)
+    assert len(atoms["bonds"]) >= 3 * n_res
+    assert len(atoms["bfactor"]) == 4 * n_res
+    assert max(atoms["bfactor"]) > 0             # pLDDT column populated
+    # CA-only files must NOT carry the atom payload
+    q = urllib.parse.quote(f"{name}_curve.pdb")
+    _, body = _get(f"{base}/tasks/{tid}/downstream-pdb?path={q}")
+    assert "atoms" not in json.loads(body)
 
 
 def test_warm_worker_two_tasks_one_process(tiny_ckpt, tmp_path_factory):
