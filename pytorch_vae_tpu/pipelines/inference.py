@@ -47,8 +47,17 @@ class AEBundle:
         model = VQVAE(**filter_model_params(cfg["model_params"]))
         import os
 
-        raw = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
-        state = raw.get("state", raw)
+        from ..utils import golden
+
+        if golden.is_golden(ckpt_path):
+            # committed params-only bundle (utils/golden.py): the
+            # recycle-proof path `make reproduce-line` runs from
+            g_params, g_vq, _ = golden.load_golden(ckpt_path)
+            state = {"params": g_params, "vq_state": g_vq}
+        else:
+            raw = ocp.StandardCheckpointer().restore(
+                os.path.abspath(ckpt_path))
+            state = raw.get("state", raw)
         params = state["params"]
         vq_state = None
         if model.use_vq:

@@ -1,80 +1,101 @@
-"""Golden-value regression test: a frozen tiny model + input must keep
-producing the same forward outputs and loss values (CPU, float32).
+"""Golden params-only bundles (utils/golden.py, scripts/export_golden.py).
 
-The golden file is regenerated intentionally with:
-    python tests/test_golden.py regenerate
-Any unintended numeric drift in the encoder/tokenizer/quantizer/decoder or
-the loss family fails this test.
+The recycle-proof checkpoint path behind `make reproduce-line`: an orbax
+TrainState exported to one compressed .npz must load through
+AEBundle.from_checkpoint and produce bit-identical encodes/decodes to the
+orbax directory it came from.
 """
 
+import json
 import os
+import subprocess
 import sys
 
-import jax
-import jax.numpy as jnp
 import numpy as np
+import pytest
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden_tiny_vqvae.npz")
-
-_KW = dict(hidden_dim=32, num_layers=2, num_heads=4, max_seq_len=24,
-           ffn_dim=64, use_vq=True, num_quantizers=2, codebook_size=8,
-           code_dim=8, latent_tokens=4, tokenizer_layers=1)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _compute():
-    # fixed PRNG impl so golden values are stable regardless of config
-    from pytorch_vae_tpu.config import DEFAULT_WEIGHT_KEYS
-    from pytorch_vae_tpu.models import VQVAE, init_epoch_stats, init_vq_state
-    from pytorch_vae_tpu.ops.losses import LossStatics, curve_loss
+def _export(ckpt_path, config_path, out):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/export_golden.py"),
+         "--ckpt", ckpt_path, "--config", config_path, "--out", out],
+        capture_output=True, text=True, env={
+            **os.environ, "JAX_PLATFORMS": "cpu",
+            "PVT_NO_COMPILE_CACHE": "1"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    model = VQVAE(**_KW)
-    key = jax.random.key(0, impl="threefry2x32")
-    rng = np.random.default_rng(42)
-    x = jnp.asarray(
-        np.cumsum(rng.normal(size=(2, 24, 6)), axis=1).astype(np.float32))
-    mask = jnp.asarray(np.arange(24)[None] < np.asarray([[24], [15]]))
-    vqs = init_vq_state(jax.random.key(1, impl="threefry2x32"),
-                        model.vq_config)
-    eps = init_epoch_stats(model.vq_config)
-    variables = model.init(
-        {"params": key, "dropout": key, "aug": key, "reinit": key},
-        x, mask, vqs, eps, step=0, train=False)
-    out, _, _, _ = model.apply(variables, x, mask, vqs, eps, step=0,
-                               train=False)
-    recons, target, vq_pack, m = out
-    w = dict(DEFAULT_WEIGHT_KEYS, ss_weight=0.8, rmsd_weight=1.8,
-             beta=0.01, label_smoothing=0.01, ss_tv_lambda=0.002,
-             xyz_tv_lambda=0.001)
-    st = LossStatics(use_vq=True, seq_len=24, ss_tv=True, xyz_tv=True)
-    ld = curve_loss(recons, target, vq_pack, m, w, st,
-                    embedding=vqs.embedding)
-    return {
-        "recons": np.asarray(recons),
-        "z_e": np.asarray(vq_pack[1]),
-        "indices": np.asarray(vq_pack[2]),
-        "loss": np.asarray(ld["loss"]),
-        "loss_xyz": np.asarray(ld["Reconstruction_Loss_XYZ"]),
-        "loss_ss": np.asarray(ld["Reconstruction_Loss_SS"]),
-        "vq_loss": np.asarray(ld["VQ_Loss"]),
+
+@pytest.fixture(scope="module")
+def golden_npz(tiny_ckpt, tmp_path_factory):
+    config_path, ckpt_path = tiny_ckpt
+    out = str(tmp_path_factory.mktemp("golden") / "tiny_golden.npz")
+    meta = _export(ckpt_path, config_path, out)
+    return config_path, ckpt_path, out, meta
+
+
+def test_export_cli_roundtrip_and_meta(golden_npz):
+    config_path, ckpt_path, out, meta = golden_npz
+    assert meta["roundtrip"] == "bit-exact"
+    assert meta["n_arrays"] > 0 and meta["n_bytes"] > 0
+    assert meta["source_ckpt"] == ckpt_path
+    # params-only: far smaller than the full TrainState directory
+    state_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(ckpt_path) for f in fs)
+    assert os.path.getsize(out) < state_bytes
+
+
+def test_bundle_loads_golden_and_matches_orbax(golden_npz):
+    from pytorch_vae_tpu.pipelines.inference import AEBundle
+
+    config_path, ckpt_path, out, _ = golden_npz
+    b_orbax = AEBundle.from_checkpoint(config_path, ckpt_path)
+    b_gold = AEBundle.from_checkpoint(config_path, out)
+
+    rng = np.random.default_rng(0)
+    x = np.cumsum(rng.normal(size=(2, 24, 3)), axis=1)
+    ss = np.eye(3, dtype=np.float32)[rng.integers(0, 3, (2, 24))]
+    curve = np.concatenate([x, ss], -1).astype(np.float32)
+    mask = np.ones((2, 24), np.float32)
+
+    z_o = np.asarray(b_orbax._encode_fn(b_orbax.params, curve, mask))
+    z_g = np.asarray(b_gold._encode_fn(b_gold.params, curve, mask))
+    np.testing.assert_array_equal(z_o, z_g)
+
+    d_o = b_orbax._decode_fn(b_orbax.params, z_o, mask)
+    d_g = b_gold._decode_fn(b_gold.params, z_g, mask)
+    for a, b in zip(np.asarray(d_o).ravel(), np.asarray(d_g).ravel()):
+        assert a == b
+
+
+def test_golden_rejects_non_bundle(tmp_path):
+    from pytorch_vae_tpu.utils import golden
+
+    p = str(tmp_path / "junk.npz")
+    np.savez(p, foo=np.zeros(3))
+    with pytest.raises(ValueError, match="not a golden bundle"):
+        golden.load_golden(p)
+
+
+def test_vq_state_travels(tmp_path):
+    """A VQ model's quantizer EMA state survives the round trip."""
+    from pytorch_vae_tpu.utils import golden
+
+    state = {
+        "params": {"dense": {"kernel": np.arange(6.0).reshape(2, 3)}},
+        "vq_state": {"embedding": np.ones((2, 4, 8), np.float32),
+                     "ema_cluster_size": np.full((2, 4), 0.5),
+                     "ema_embedding": np.zeros((2, 4, 8), np.float32)},
     }
-
-
-def test_golden_forward_and_loss():
-    got = _compute()
-    if not os.path.exists(GOLDEN):
-        np.savez(GOLDEN, **got)
-        raise AssertionError(
-            f"golden file was missing; wrote {GOLDEN} — rerun the test")
-    want = np.load(GOLDEN)
-    np.testing.assert_array_equal(got["indices"], want["indices"])
-    for k in ("recons", "z_e", "loss", "loss_xyz", "loss_ss", "vq_loss"):
-        np.testing.assert_allclose(
-            got[k], want[k], rtol=2e-4, atol=2e-5,
-            err_msg=f"golden drift in {k}")
-
-
-if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "regenerate":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
-        np.savez(GOLDEN, **_compute())
-        print(f"regenerated {GOLDEN}")
+    out = str(tmp_path / "g.npz")
+    golden.export_golden(state, out, source_ckpt="x")
+    params, vq, meta = golden.load_golden(out)
+    np.testing.assert_array_equal(params["dense"]["kernel"],
+                                  state["params"]["dense"]["kernel"])
+    assert vq is not None
+    for k in state["vq_state"]:
+        np.testing.assert_array_equal(vq[k], state["vq_state"][k])
+    assert meta["n_arrays"] == 4
