@@ -20,6 +20,36 @@ from flax import linen as nn
 
 DEFAULT_HIDDEN_DIMS = (32, 64, 128, 256, 512)
 
+# Upsampling form for the decoder pyramid (A/B lever, VERDICT r3 #4: the
+# deconv stack is the HBM-bound cost that caps MIWAE and every zoo row).
+#   deconv         nn.ConvTranspose stride 2 (default; mirrors the
+#                  upstream zoo's nn.ConvTranspose2d)
+#   pixel_shuffle  3x3 conv to 4F channels at the LOW resolution +
+#                  depth-to-space — the same useful FLOPs expressed as a
+#                  standard conv XLA tiles directly onto the MXU, with no
+#                  input-dilation zero work
+#   resize         nearest 2x upsample + 3x3 conv (4x the conv FLOPs of
+#                  pixel_shuffle, classic checkerboard-free form)
+# Module-level override (same pattern as layers.set_dense2d) so the A/B
+# harness can flip modes without threading a knob through 12 zoo models;
+# PVT_DECODER_UPSAMPLE env var seeds it at import.
+import os as _os
+
+_UPSAMPLE: str = _os.environ.get("PVT_DECODER_UPSAMPLE", "deconv")
+
+_UPSAMPLE_MODES = ("deconv", "pixel_shuffle", "resize")
+
+
+def set_upsample_override(value: str) -> None:
+    global _UPSAMPLE
+    if value not in _UPSAMPLE_MODES:
+        raise ValueError(f"upsample mode {value!r} not in {_UPSAMPLE_MODES}")
+    _UPSAMPLE = value
+
+
+def get_upsample() -> str:
+    return _UPSAMPLE
+
 
 class ConvBlock(nn.Module):
     features: int
@@ -42,18 +72,44 @@ class ConvBlock(nn.Module):
 
 
 class DeconvBlock(nn.Module):
+    """One 2x upsampling block of the decoder pyramid.
+
+    The upsampling FORM is selected by the module-level override (see
+    _UPSAMPLE above): all three modes produce [B, 2H, 2W, features] and
+    feed the same BatchNorm -> LeakyReLU tail; they differ only in how
+    the 2x spatial growth maps onto the hardware.
+    """
+
     features: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.ConvTranspose(
-            self.features, (3, 3), strides=(2, 2),
-            padding="SAME", transpose_kernel=False,
-            dtype=self.dtype,
-            kernel_init=nn.with_logical_partitioning(
-                nn.initializers.kaiming_normal(), (None, None, None, "mlp")),
-        )(x)
+        mode = get_upsample()
+        kinit = nn.with_logical_partitioning(
+            nn.initializers.kaiming_normal(), (None, None, None, "mlp"))
+        if mode == "pixel_shuffle":
+            B, H, W, _ = x.shape
+            x = nn.Conv(self.features * 4, (3, 3),
+                        padding=((1, 1), (1, 1)), dtype=self.dtype,
+                        kernel_init=kinit, name="ps_conv")(x)
+            # depth-to-space [B,H,W,4F] -> [B,2H,2W,F]: pure reshape/
+            # transpose, fused by XLA into the conv's output layout
+            x = x.reshape(B, H, W, 2, 2, self.features)
+            x = x.transpose(0, 1, 3, 2, 4, 5)
+            x = x.reshape(B, 2 * H, 2 * W, self.features)
+        elif mode == "resize":
+            B, H, W, C = x.shape
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, kernel_init=kinit,
+                        name="rs_conv")(x)
+        else:
+            x = nn.ConvTranspose(
+                self.features, (3, 3), strides=(2, 2),
+                padding="SAME", transpose_kernel=False,
+                dtype=self.dtype, kernel_init=kinit,
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32,
