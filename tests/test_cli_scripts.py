@@ -488,3 +488,20 @@ def test_analysis_ot_thresh_sweep(arts, potential, tmp_path):
     # looser threshold admits at least as many unique pairs
     assert rows[1]["candidates"] >= rows[0]["candidates"]
     assert all(r["kept"] <= r["decoded"] for r in rows)
+
+
+def test_export_golden_and_pipeline_from_bundle(arts, tmp_path):
+    """The recycle-proof path (make reproduce-line): export a golden
+    params-only bundle, then run a pipeline script directly from it."""
+    out = str(tmp_path / "tiny_golden.npz")
+    run_script("export_golden.py", [
+        "--ckpt", arts["ckpt"], "--config", arts["cfg"], "--out", out])
+    assert os.path.exists(out)
+    bank = str(tmp_path / "bank_from_golden.npz")
+    run_script("extract_ae_latents.py", [
+        "--config", arts["cfg"], "--ckpt", out, "--out", bank,
+        "--batch_size", "4", "--split", "train"])
+    g = np.load(bank)
+    o = np.load(arts["bank"])
+    # identical params -> identical latent bank
+    np.testing.assert_array_equal(g["latents"], o["latents"])
