@@ -63,4 +63,12 @@ retry 3 300 python bench.py || true
 # 5. reproduce-line from the committed golden bundle
 retry 2 300 bash scripts/reproduce_line.sh || true
 
+# 6. full CPU test suite at HEAD (VERDICT r3 #7) — runs INSIDE this
+# chain's lock so it can never contend with a training host process on
+# the single CPU core
+env -u PALLAS_AXON_POOL_IPS python -m pytest tests/ -q \
+  > logs/suite_r4.log 2>&1
+echo "[post] suite rc=$? (tail logs/suite_r4.log)" >> "${LOG}"
+tail -2 logs/suite_r4.log >> "${LOG}"
+
 echo "[post] done $(date -u +%FT%TZ)" >> "${LOG}"
