@@ -54,6 +54,19 @@ def main() -> None:
                          "— same decode/filter/stats, directly comparable")
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--top_k", type=int, default=0)
+    ap.add_argument("--prior_params", type=str, default="best",
+                    choices=["best", "final"],
+                    help="which prior params to sample (sample_code_prior."
+                         "load_prior): 'final' is the memorizing model — "
+                         "the generatively useful one on a tiny corpus")
+    ap.add_argument("--recon", action="store_true",
+                    help="reconstruction-ceiling arm: encode+quantize+"
+                         "decode the split's REAL curves through the same "
+                         "filter/stats — no sampler can beat this")
+    ap.add_argument("--novelty_codes_dir", type=str, default="",
+                    help="extract_code_indices.py dir of TRAINING codes "
+                         "for novelty metrics (default: the prior's own "
+                         "source codes_dir when --prior_dir is set)")
     args = ap.parse_args()
 
     from pytorch_vae_tpu import config as cfglib
@@ -93,7 +106,12 @@ def main() -> None:
         from sample_code_prior import load_prior  # noqa: E402
 
         from pytorch_vae_tpu.models.code_prior import sample_codes
-        pm, pvars, pmeta = load_prior(args.prior_dir)
+        pm, pvars, pmeta = load_prior(args.prior_dir,
+                                      which=args.prior_params)
+        if not args.novelty_codes_dir:
+            src_codes = (pmeta.get("source") or {}).get("codes_dir", "")
+            if src_codes and os.path.isdir(src_codes):
+                args.novelty_codes_dir = src_codes
         if (pm.num_q, pm.k_per, pm.n_tokens) != \
                 (Q, K, bundle.latent_tokens):
             raise RuntimeError(
@@ -117,54 +135,138 @@ def main() -> None:
                 ls = np.concatenate(
                     [ls, np.full(args.batch_size - n, ls[-1], ls.dtype)])
             flat = np.asarray(jit_sample(sub, jnp.asarray(ls)))  # [B, M*Q]
+            flat = flat[:n]
             # token-major global flat -> summed code vectors [B, M, D]
-            return emb[flat.reshape(len(ls), bundle.latent_tokens, Q)
-                       ].sum(axis=2).astype(np.float32)[:n]
+            z = emb[flat.reshape(n, bundle.latent_tokens, Q)
+                    ].sum(axis=2).astype(np.float32)
+            return z, flat
 
+    pad_to = int(m.max_seq_len)
     params = end2end_params(min_length=args.min_length)
     kept, rejects = 0, {r: 0 for r in REJECT_REASONS}
-    kept_curves = []
-    for lo in range(0, args.n, args.batch_size):
-        ls = lengths[lo: lo + args.batch_size]
-        B = len(ls)
-        if prior_sample is not None:
-            z_q = prior_sample(ls)
-        else:
-            # one random code per level, summed (VQVAE.sample semantics,
-            # reference models/vq_vae.py:1403-1414) — host-side so the
-            # tool runs on any backend without tracing the sample method
-            z_q = np.zeros((B, bundle.latent_tokens, bundle.code_dim),
-                           np.float32)
-            for lvl in range(Q):
-                idx = rng.integers(0, K, size=(B, bundle.latent_tokens))
-                z_q += emb[lvl * K: (lvl + 1) * K][idx]
-        curves = bundle.decode_curve6(
-            z_q, ls, pad_to=int(m.max_seq_len))
-        for c in curves:
-            ok, _stats, reason = curve_pass_filter(c, params)
-            if ok:
-                kept += 1
-                kept_curves.append(c)
-            else:
-                rejects[reason] += 1
+    all_curves, all_codes = [], []
 
-    all_curves = kept_curves if kept_curves else []
+    if args.recon:
+        # ceiling arm: real curves through encode -> quantize -> decode
+        from pytorch_vae_tpu.data.curves import pad_batch
+        n_eff = min(args.n, len(ds))
+        for lo in range(0, n_eff, args.batch_size):
+            samples = [ds[i][:pad_to] for i in range(lo, min(
+                n_eff, lo + args.batch_size))]  # head-truncate like
+            # bond_band_stats' max_seq_len so pad_batch never overflows
+            ls = np.asarray([s.shape[0] for s in samples])
+            x, mask = pad_batch(samples, pad_to=pad_to)
+            z_e = bundle.encode_tokens(x, mask)
+            z_q, idx = bundle.quantize(z_e)
+            # level-major flat [Q*B*N] -> token-major global flat [B, M*Q]
+            if Q > 1:
+                per = np.asarray(idx).reshape(Q, len(samples),
+                                              bundle.latent_tokens)
+                flat = (per + (np.arange(Q)[:, None, None] * K)
+                        ).transpose(1, 2, 0).reshape(len(samples), -1)
+            else:
+                flat = np.asarray(idx).reshape(len(samples), -1)
+            all_codes.append(flat.astype(np.int32))
+            all_curves.extend(bundle.decode_curve6(z_q, ls, pad_to=pad_to))
+    else:
+        for lo in range(0, args.n, args.batch_size):
+            ls = lengths[lo: lo + args.batch_size]
+            B = len(ls)
+            if prior_sample is not None:
+                z_q, flat = prior_sample(ls)
+            else:
+                # one random code per level, summed (VQVAE.sample
+                # semantics, reference models/vq_vae.py:1403-1414) —
+                # host-side so the tool runs on any backend without
+                # tracing the sample method
+                z_q = np.zeros((B, bundle.latent_tokens, bundle.code_dim),
+                               np.float32)
+                per = np.zeros((B, bundle.latent_tokens, Q), np.int32)
+                for lvl in range(Q):
+                    idx = rng.integers(0, K, size=(B, bundle.latent_tokens))
+                    z_q += emb[lvl * K: (lvl + 1) * K][idx]
+                    per[:, :, lvl] = idx + lvl * K
+                flat = per.reshape(B, -1)
+            all_codes.append(np.asarray(flat, np.int32))
+            all_curves.extend(bundle.decode_curve6(z_q, ls, pad_to=pad_to))
+
+    kept_curves = []
+    for c in all_curves:
+        ok, _stats, reason = curve_pass_filter(c, params)
+        if ok:
+            kept += 1
+            kept_curves.append(c)
+        else:
+            rejects[reason] += 1
+
+    # distributional bond stats over ALL decodes (the strict any-bond-out
+    # filter saturates at 0 keep whenever the stage-2 decoder's own
+    # reconstruction floor is below 100% in-band — these distinguish the
+    # arms even then)
+    per_curve_frac, per_curve_legal = [], []
+    for c in all_curves:
+        bl = np.linalg.norm(np.diff(c[:, :3], axis=0), axis=-1)
+        inb = (bl >= args.band_min) & (bl <= args.band_max)
+        per_curve_frac.append(float(inb.mean()))
+        per_curve_legal.append(bool(inb.all()))
+    pcf = np.asarray(per_curve_frac)
+
+    novelty = None
+    codes_arr = np.concatenate(all_codes) if all_codes else None
+    if args.novelty_codes_dir and codes_arr is not None:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from train_code_prior import load_codes_dir  # noqa: E402
+        train_codes, _tl, _tm = load_codes_dir(args.novelty_codes_dir)
+        if train_codes.shape[1] == codes_arr.shape[1]:
+            best_ov = np.zeros(len(codes_arr))
+            for lo in range(0, len(codes_arr), 64):
+                chunk = codes_arr[lo: lo + 64]
+                ov = (chunk[:, None, :] == train_codes[None]).mean(-1)
+                best_ov[lo: lo + len(chunk)] = ov.max(1)
+            novelty = {
+                "train_sequences": int(len(train_codes)),
+                "exact_match_frac": float((best_ov == 1.0).mean()),
+                "nn_token_overlap": {
+                    "mean": float(best_ov.mean()),
+                    "p50": float(np.quantile(best_ov, 0.5)),
+                    "p90": float(np.quantile(best_ov, 0.9)),
+                    "max": float(best_ov.max()),
+                },
+            }
+
+    if args.recon:
+        sampler = "reconstruction_ceiling"
+    elif args.prior_dir:
+        sampler = {"prior_dir": args.prior_dir,
+                   "params": args.prior_params,
+                   "temperature": args.temperature, "top_k": args.top_k}
+    else:
+        sampler = "uniform"
     res = {
         "config": args.config,
         "ckpt": args.ckpt,
-        "n_sampled": args.n,
-        "sampler": ({"prior_dir": args.prior_dir,
-                     "temperature": args.temperature, "top_k": args.top_k}
-                    if args.prior_dir else "uniform"),
+        "n_sampled": len(all_curves),
+        "sampler": sampler,
         "codebook": {"levels": Q, "codes_per_level": K,
                      "bits_per_curve":
                          int(bundle.latent_tokens * Q * np.log2(K))},
         "kept": kept,
-        "keep_rate": kept / args.n,
+        "keep_rate": kept / max(1, len(all_curves)),
         "reject_counts": {k: v for k, v in rejects.items() if v},
-        "kept_bond_stats": (bond_stats(all_curves, args.band_min,
+        "decode_bond_stats": bond_stats(all_curves, args.band_min,
+                                        args.band_max),
+        "per_curve_frac_in_band": {
+            "mean": float(pcf.mean()),
+            "p10": float(np.quantile(pcf, 0.1)),
+            "p50": float(np.quantile(pcf, 0.5)),
+            "p90": float(np.quantile(pcf, 0.9)),
+        },
+        "curve_bond_legal_rate": float(np.mean(per_curve_legal)),
+        "novelty": novelty,
+        "kept_bond_stats": (bond_stats(kept_curves, args.band_min,
                                        args.band_max)
-                            if all_curves else None),
+                            if kept_curves else None),
     }
     line = json.dumps(res)
     print(line)

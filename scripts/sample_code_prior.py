@@ -28,14 +28,23 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def load_prior(prior_dir: str):
+def load_prior(prior_dir: str, which: str = "best"):
+    """which: 'best' = best-val params (prior.npz), 'final' = last-epoch
+    params (prior_final.npz — on a memorizable corpus this is the
+    generatively useful selection; see train_code_prior.py)."""
     from flax.traverse_util import unflatten_dict
 
     from pytorch_vae_tpu.models.code_prior import CodePrior
 
     meta = json.load(open(os.path.join(prior_dir, "meta.json")))
     model = CodePrior(**meta["model"])
-    raw = np.load(os.path.join(prior_dir, "prior.npz"))
+    fname = {"best": "prior.npz", "final": "prior_final.npz"}[which]
+    path = os.path.join(prior_dir, fname)
+    if not os.path.exists(path):
+        raise SystemExit(f"{path} not found (which={which!r}; priors "
+                         "trained before the final-params save only have "
+                         "prior.npz)")
+    raw = np.load(path)
     params = unflatten_dict({tuple(k.split("/")): raw[k] for k in raw.files})
     return model, {"params": params}, meta
 
@@ -51,6 +60,9 @@ def main() -> None:
                     help="fixed curve length; 0 = draw from train histogram")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--params", type=str, default="best",
+                    choices=["best", "final"],
+                    help="which saved params to sample from (load_prior)")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +70,7 @@ def main() -> None:
 
     from pytorch_vae_tpu.models.code_prior import sample_codes
 
-    model, variables, meta = load_prior(args.prior_dir)
+    model, variables, meta = load_prior(args.prior_dir, which=args.params)
     rng = np.random.default_rng(args.seed)
     if args.length:
         lengths = np.full(args.n, args.length, np.int32)
@@ -88,6 +100,7 @@ def main() -> None:
                      "indices_path": f"indices/{name}.npy"}) + "\n")
     with open(os.path.join(args.out_dir, "meta.json"), "w") as f:
         json.dump({"prior_dir": os.path.abspath(args.prior_dir),
+                   "params": args.params,
                    "n": args.n, "temperature": args.temperature,
                    "top_k": args.top_k, "seed": args.seed,
                    "source": meta.get("source")}, f, indent=1)

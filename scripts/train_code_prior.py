@@ -155,9 +155,19 @@ def main() -> None:
                 print(f"[ep {epoch:4d}] train {row['train_loss']:.4f} "
                       f"val {row['val_loss']:.4f} acc {row['val_acc']:.3f}")
 
+    # Save BOTH selections. On a memorizable (tiny) corpus the best-val
+    # model is near-uniform (val never beats ln K by much) while the
+    # FINAL model memorizes the training sequences — for unconditional
+    # *generation* the final model at reduced temperature is the useful
+    # sampler, and the honest tradeoff (novelty vs geometry quality) is
+    # measured downstream by vq_sample_quality's novelty metrics.
     flat = {"/".join(k): np.asarray(v) for k, v in
             flatten_dict(best_params).items()}
     np.savez(os.path.join(args.out, "prior.npz"), **flat)
+    flat_final = {"/".join(k): np.asarray(v) for k, v in
+                  flatten_dict(jax.tree_util.tree_map(
+                      np.asarray, params)).items()}
+    np.savez(os.path.join(args.out, "prior_final.npz"), **flat_final)
     hist = np.bincount(lengths, minlength=lmax + 1)
     out_meta = {
         "model": {"n_tokens": M, "num_q": Q, "k_per": K,
@@ -170,6 +180,8 @@ def main() -> None:
                    **{k: src_meta.get(k) for k in
                       ("config", "ckpt", "ckpt_sha256")}},
         "best_val_loss": best,
+        "final_train_loss": row["train_loss"],
+        "final_val_loss": row["val_loss"],
         "uniform_nats_per_pos": float(np.log(K)),
     }
     with open(os.path.join(args.out, "meta.json"), "w") as f:

@@ -295,6 +295,26 @@ def test_analysis_vq_sample_quality(arts, tmp_path):
     # every sample lands in exactly one bucket
     assert stats["kept"] + sum(stats["reject_counts"].values()) == 16
     assert stats["codebook"]["levels"] == MODEL["num_quantizers"]
+    # distributional stats must exist even when the strict filter keeps 0
+    assert np.isfinite(stats["decode_bond_stats"]["mean"])
+    assert 0.0 <= stats["curve_bond_legal_rate"] <= 1.0
+    assert 0.0 <= stats["per_curve_frac_in_band"]["mean"] <= 1.0
+
+
+def test_analysis_vq_sample_quality_recon_arm(arts, tmp_path):
+    """--recon measures the ceiling: real curves through encode ->
+    quantize -> decode, same filter/stats as the sampler arms."""
+    out = str(tmp_path / "vq_recon.json")
+    run_script("analysis/vq_sample_quality.py", [
+        "--config", arts["cfg"], "--ckpt", arts["ckpt"],
+        "--n", "8", "--batch_size", "8", "--seed", "0",
+        "--min_length", "2", "--recon", "--out", out])
+    stats = json.load(open(out))
+    assert stats["sampler"] == "reconstruction_ceiling"
+    assert stats["n_sampled"] >= 1
+    assert stats["kept"] + sum(stats["reject_counts"].values()) == \
+        stats["n_sampled"]
+    assert np.isfinite(stats["decode_bond_stats"]["mean"])
 
 
 def test_code_prior_pipeline(arts, tmp_path):
@@ -311,16 +331,27 @@ def test_code_prior_pipeline(arts, tmp_path):
     assert meta["model"]["num_q"] == MODEL["num_quantizers"]
     assert meta["model"]["k_per"] == MODEL["codebook_size"]
     assert meta["model"]["n_tokens"] == MODEL["latent_tokens"]
+    # both param selections are saved (best-val AND final epoch)
+    assert os.path.exists(os.path.join(prior_dir, "prior_final.npz"))
+    assert "final_val_loss" in meta and "final_train_loss" in meta
 
     out = str(tmp_path / "vq_prior.json")
     run_script("analysis/vq_sample_quality.py", [
         "--config", arts["cfg"], "--ckpt", arts["ckpt"],
         "--n", "8", "--batch_size", "8", "--seed", "0",
         "--min_length", "2", "--prior_dir", prior_dir,
+        "--prior_params", "final",
         "--temperature", "0.9", "--out", out])
     stats = json.load(open(out))
     assert stats["sampler"]["prior_dir"] == prior_dir
+    assert stats["sampler"]["params"] == "final"
     assert stats["kept"] + sum(stats["reject_counts"].values()) == 8
+    # novelty vs the prior's own training codes is auto-computed
+    nov = stats["novelty"]
+    assert nov is not None
+    assert nov["train_sequences"] >= 1
+    assert 0.0 <= nov["nn_token_overlap"]["mean"] <= 1.0
+    assert 0.0 <= nov["exact_match_frac"] <= 1.0
 
 
 @pytest.mark.parametrize("pairs", ["random", "nearest"])
