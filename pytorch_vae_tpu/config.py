@@ -88,6 +88,7 @@ DEFAULT_WEIGHT_KEYS: Dict[str, float] = {
     "bond_length_weight": 0.0,
     "bond_angle_weight": 0.0,
     "bond_min_hinge_weight": 0.0,
+    "bond_band_max_weight": 0.0,
     "xyz_tv_lambda": 0.0,
     "dir_weight": 0.0,
     "dih_weight": 0.0,

@@ -90,6 +90,20 @@ class LossStatics:
     mix_seg_max_weight: float = 0.0
     # margin (Angstrom) of the min-bond hinge (extension; see bond term)
     bond_hinge_margin: float = 2.5
+    # per-curve WORST-bond band hinge on reconstructions (extension,
+    # stage-2 sharpening): the stage-2 quality metric is the fraction of
+    # quantized-decode bonds inside [2.2, 5.5] A (bond_band_stats.py),
+    # and the round-4 calibration probe showed the residual error is
+    # LOCAL corner-cutting — a tail of per-curve worst short bonds the
+    # mean bond terms dilute (the same mean-dilution mechanism the ft8
+    # worst-pair A/B fixed for stage-1 collisions: keep 90.9 -> 94.0%).
+    # Hinges each bond's violation outside [bond_band_lo, bond_band_hi]
+    # (trained safety margins inside the measured band), takes the MAX
+    # over the curve, squares, and means over the batch. Enabled when
+    # bond_band_max_weight is ever nonzero in the schedule.
+    bond_band: bool = False
+    bond_band_lo: float = 2.5
+    bond_band_hi: float = 5.2
     # pairwise-repulsion hinge (extension; see pairwise_repulsion_loss):
     # defaults mirror the AE-OT filter's self-collision check
     repulsion_min_dist: float = 2.0
@@ -450,7 +464,7 @@ def curve_loss(
 
     # ----- bond length / angle / direction / dihedral -----
     L = re_xyz_real.shape[1]
-    bl = ba = dir_loss = dih = bond_hinge = zero
+    bl = ba = dir_loss = dih = bond_hinge = bond_band_max = zero
     if L >= 2:
         re_len = geometry.bond_lengths(re_xyz_real)
         gt_len = geometry.bond_lengths(gt_xyz_real)
@@ -463,6 +477,16 @@ def curve_loss(
         # failure mode directly.
         hinge = jnp.maximum(statics.bond_hinge_margin - re_len, 0.0)
         bond_hinge = masked_mean(hinge**2, pair_mask(mask, 2))
+        if statics.bond_band:
+            # two-sided band violation per bond, per-curve WORST (see
+            # LossStatics.bond_band). Padded pairs are zeroed before the
+            # max so they can never be the argmax.
+            viol = jnp.maximum(statics.bond_band_lo - re_len, 0.0) \
+                + jnp.maximum(re_len - statics.bond_band_hi, 0.0)
+            pm = pair_mask(mask, 2)
+            if pm is not None:
+                viol = viol * pm.astype(viol.dtype)
+            bond_band_max = jnp.mean(jnp.max(viol, axis=1) ** 2)
         u_rec = unit(re_xyz_real[:, 1:, :] - re_xyz_real[:, :-1, :])
         u_gt = unit(gt_xyz_real[:, 1:, :] - gt_xyz_real[:, :-1, :])
         dir_err = 1.0 - jnp.sum(u_rec * u_gt, axis=-1)
@@ -484,6 +508,8 @@ def curve_loss(
         + w["dih_weight"] * dih
         + w["bond_min_hinge_weight"] * bond_hinge
     )
+    if statics.bond_band:
+        geom_loss = geom_loss + w["bond_band_max_weight"] * bond_band_max
 
     # ----- VQ commitment (codebook side is EMA-only; vq_vae.py:1292-1296) ---
     if statics.use_vq:
@@ -585,6 +611,7 @@ def curve_loss(
         "VQ_Loss": jax.lax.stop_gradient(vq_loss),
         "Geom_BondLength_Loss": jax.lax.stop_gradient(bl),
         "Geom_BondMinHinge": jax.lax.stop_gradient(bond_hinge),
+        "Geom_BondBandMax": jax.lax.stop_gradient(bond_band_max),
         "Geom_BondAngle_Loss": jax.lax.stop_gradient(ba),
         "Geom_Direction_Loss": jax.lax.stop_gradient(dir_loss),
         "Geom_Dihedral_Loss": jax.lax.stop_gradient(dih),

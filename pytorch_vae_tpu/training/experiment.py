@@ -153,6 +153,11 @@ class VQVAEExperiment:
             seq_len=int(self.model.max_seq_len),
             bond_hinge_margin=float(
                 self.exp_params.get("bond_hinge_margin", 2.5)),
+            bond_band=ever("bond_band_max_weight"),
+            bond_band_lo=float(
+                self.exp_params.get("bond_band_lo", 2.5)),
+            bond_band_hi=float(
+                self.exp_params.get("bond_band_hi", 5.2)),
             ss_tv=ever("ss_tv_lambda"),
             usage_entropy=ever("usage_entropy_lambda"),
             xyz_tv=ever("xyz_tv_lambda"),

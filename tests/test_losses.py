@@ -109,9 +109,11 @@ def test_loss_ignores_padded_garbage():
                  kappa_weight=0.1, tau_weight=0.1, ss_tv_lambda=0.1,
                  xyz_tv_lambda=0.1, bond_length_weight=0.1,
                  bond_min_hinge_weight=0.1, repulsion_weight=0.1,
-                 bond_angle_weight=0.1, dir_weight=0.1, dih_weight=0.1)
+                 bond_angle_weight=0.1, dir_weight=0.1, dih_weight=0.1,
+                 bond_band_max_weight=0.1)
     st = _statics(recons.shape[1], pdm=True, win_kabsch=True, kappa=True,
                   tau=True, lr_pdm=True, ss_tv=True, repulsion=True,
+                  bond_band=True,
                   pdm_window=4, win_kabsch_size=8, win_kabsch_stride=4,
                   lr_min_sep=6, lr_stride=3, lr_max_offsets=3)
     pack = _vq_pack(recons)
@@ -125,6 +127,32 @@ def test_loss_ignores_padded_garbage():
             float(base[k]), float(poisoned[k]), atol=1e-3, rtol=1e-4,
             err_msg=f"term {k} leaked padded values",
         )
+
+
+def test_bond_band_max_hits_single_worst_bond():
+    """The band term is the per-curve WORST violation — one bad bond in a
+    long otherwise-legal curve contributes its full squared violation
+    (no mean dilution), and an all-legal curve contributes exactly 0."""
+    L = 32
+    line = jnp.stack([jnp.arange(L, dtype=jnp.float32) * 3.8,
+                      jnp.zeros(L), jnp.zeros(L)], axis=-1)[None]
+    target = jnp.concatenate([line, jnp.zeros((1, L, 3))], axis=-1)
+    mask = jnp.ones((1, L), bool)
+    w = _weights(bond_band_max_weight=1.0)
+    st = _statics(L, bond_band=True)  # band [2.5, 5.2]
+    pack = _vq_pack(target)
+
+    legal = curve_loss(target, target, pack, mask, w, st)
+    assert float(legal["Geom_BondBandMax"]) == 0.0
+
+    # shrink ONE bond to 1.0 A (violation 1.5) and stretch ANOTHER to
+    # 6.2 A (violation 1.0): the term must report max(1.5, 1.0)^2
+    bad = line.at[0, 5].set(line[0, 4] + jnp.array([1.0, 0.0, 0.0]))
+    bad = bad.at[0, 20].set(bad[0, 19] + jnp.array([6.2, 0.0, 0.0]))
+    bad_rec = jnp.concatenate([bad, jnp.zeros((1, L, 3))], axis=-1)
+    out = curve_loss(bad_rec, target, pack, mask, w, st)
+    np.testing.assert_allclose(
+        float(out["Geom_BondBandMax"]), 1.5**2, rtol=1e-4)
 
 
 def test_repulsion_matches_torch_oracle():

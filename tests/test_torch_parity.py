@@ -24,7 +24,7 @@ B, L = 4, 40
 WEIGHTS = dict(
     DEFAULT_WEIGHT_KEYS,
     ss_weight=0.8, rmsd_weight=1.8, bond_length_weight=0.01,
-    bond_min_hinge_weight=0.02,
+    bond_min_hinge_weight=0.02, bond_band_max_weight=0.015,
     bond_angle_weight=0.004, dir_weight=0.002, dih_weight=0.003,
     xyz_tv_lambda=0.001, ss_tv_lambda=0.002, label_smoothing=0.02,
     beta=0.005, xyz_align_alpha=0.95, pdm_weight=0.001,
@@ -33,8 +33,8 @@ WEIGHTS = dict(
 )
 STATICS = LossStatics(
     use_vq=True, seq_len=L, ss_tv=True, xyz_tv=True, pdm=True, kappa=True,
-    tau=True, lr_pdm=True, pdm_window=5, lr_min_sep=10, lr_stride=4,
-    lr_max_offsets=3,
+    tau=True, lr_pdm=True, bond_band=True, pdm_window=5, lr_min_sep=10,
+    lr_stride=4, lr_max_offsets=3,
 )
 
 
@@ -121,6 +121,11 @@ def torch_oracle(recons, target, zq, ze, mask, w):
     bl = _masked_mean_t((re_len - gt_len) ** 2, pm(2))
     bond_hinge = _masked_mean_t(
         torch.clamp(2.5 - re_len, min=0.0) ** 2, pm(2))
+    # per-curve worst-bond band hinge (LossStatics.bond_band, lo/hi
+    # defaults 2.5/5.2): padded pairs zeroed before the per-curve max
+    band_viol = (torch.clamp(2.5 - re_len, min=0.0)
+                 + torch.clamp(re_len - 5.2, min=0.0)) * pm(2).float()
+    bond_band_max = (band_viol.max(dim=1).values ** 2).mean()
 
     def cosang(x):
         v1 = x[:, 1:-1] - x[:, :-2]
@@ -174,6 +179,7 @@ def torch_oracle(recons, target, zq, ze, mask, w):
         + w["beta"] * commit
         + w["bond_length_weight"] * bl + w["bond_angle_weight"] * ba
         + w["bond_min_hinge_weight"] * bond_hinge
+        + w["bond_band_max_weight"] * bond_band_max
         + w["dir_weight"] * dir_loss + w["dih_weight"] * dih
         + w["ss_tv_lambda"] * ss_tv + w["xyz_tv_lambda"] * xyz_tv
         + w["pdm_weight"] * pdm + w["kappa_weight"] * kappa
@@ -184,6 +190,7 @@ def torch_oracle(recons, target, zq, ze, mask, w):
         "XYZ_MSE_Raw": raw.mean(), "Reconstruction_Loss_SS": loss_ss,
         "SS_TV": ss_tv, "Geom_BondLength_Loss": bl,
         "Geom_BondMinHinge": bond_hinge,
+        "Geom_BondBandMax": bond_band_max,
         "Geom_BondAngle_Loss": ba, "Geom_Direction_Loss": dir_loss,
         "Geom_Dihedral_Loss": dih, "XYZ_TV2": xyz_tv,
         "Geom_LocalPDM": pdm, "Geom_LongRangePDM": lr_pdm,
