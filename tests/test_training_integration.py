@@ -324,10 +324,16 @@ def test_sharded_equivalence_mix_geom(data_dir, dp, tp):
                                             devices=jax.devices()[:1]))
     exp0.setup()
     batch = next(iter(exp0.train_loader))
+    band_sched = {"beta": [[0, 0.001]],
+                  "bond_band_max_weight": [[0, 1.0]]}
     for over in ({"schedules": sched},
                  {"schedules": sched, "mix_nearest": True},
                  {"schedules": sched, "mix_nearest": True,
-                  "mix_seg_weight": 1.0}):
+                  "mix_seg_weight": 1.0},
+                 # worst-bond band hinge: per-curve max is within-curve,
+                 # but the batch mean of the maxes must be the GLOBAL
+                 # mean under data-parallel sharding
+                 {"schedules": band_sched}):
         ref = _flagship_step_diag(
             data_dir, make_mesh(data=1, model=1,
                                 devices=jax.devices()[:1]), batch, **over)
