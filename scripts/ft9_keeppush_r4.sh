@@ -18,7 +18,7 @@ LOG=logs/ft9_keeppush_r4.log
 echo "[ft9] start $(date -u +%FT%TZ)" >> "${LOG}"
 
 for dep in round4_post_chain tok32_chain_r4 prior_final_r4 xla_flags_r4 \
-           stage2_ft3_r4; do
+           stage2_ft3_r4 compiler_opts_r4; do
   while [ -d "logs/.${dep}.lock.d" ]; do
     echo "[ft9] waiting on ${dep} $(date -u +%FT%TZ)" >> "${LOG}"
     sleep 300
