@@ -115,13 +115,22 @@ def warm_start_params(
     template but missing/mismatched in the checkpoint keep their fresh init,
     mirroring load_state_dict(strict=False) (experiment.py:295).
     """
-    ckptr = ocp.StandardCheckpointer()
-    # restore with the template so dtypes/shapes line up where they match;
-    # orbax requires congruent trees, so restore raw then merge by path.
-    raw = ckptr.restore(os.path.abspath(path))
-    src_params = raw.get("state", raw)
-    if isinstance(src_params, dict) and "params" in src_params:
-        src_params = src_params["params"]
+    from ..utils import golden as goldenlib
+
+    if goldenlib.is_golden(path):
+        # committed params-only .npz bundle (utils/golden.py): the
+        # recycle-proof source when the orbax line is lost to machine
+        # recycling — same merge semantics as an orbax warm start.
+        src_params, _, _ = goldenlib.load_golden(path)
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        # restore with the template so dtypes/shapes line up where they
+        # match; orbax requires congruent trees, so restore raw then
+        # merge by path.
+        raw = ckptr.restore(os.path.abspath(path))
+        src_params = raw.get("state", raw)
+        if isinstance(src_params, dict) and "params" in src_params:
+            src_params = src_params["params"]
 
     src_flat = _flatten(src_params)
     kept: List[str] = []

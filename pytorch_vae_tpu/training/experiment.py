@@ -286,7 +286,30 @@ class VQVAEExperiment:
                   f"epoch={int(self.state.epoch)})")
             return
         ws = warm_start_ckpt or self._warm_start_ckpt
-        if ws and os.path.isfile(ws):
+        if ws and os.path.isfile(ws) and ws.endswith(".npz"):
+            # golden params-only bundle (utils/golden.py): warm-start
+            # params AND — unlike a cross-stage orbax warm start — the
+            # EMA codebook, because a golden bundle of the SAME model is
+            # a checkpoint substitute, not a partial-architecture load.
+            from ..models.quantizer import VQState
+            from ..utils.golden import load_golden
+
+            merged, kept, skipped = warm_start_params(ws, self.state.params)
+            params = shard_params(merged, self.mesh)
+            repl = {"params": params, "opt_state": self.tx.init(params)}
+            if self.use_vq:
+                _, g_vq, _ = load_golden(ws)
+                if g_vq is not None:
+                    repl["vq_state"] = VQState(
+                        embedding=jnp.asarray(g_vq["embedding"]),
+                        ema_cluster_size=jnp.asarray(
+                            g_vq["ema_cluster_size"]),
+                        ema_embedding=jnp.asarray(g_vq["ema_embedding"]))
+            self.state = self.state.replace(**repl)
+            print(f"[Warm-start] golden bundle {ws}: kept={len(kept)} "
+                  f"skipped={len(skipped)}"
+                  + (" + vq_state" if "vq_state" in repl else ""))
+        elif ws and os.path.isfile(ws):
             # a FILE is a foreign torch/Lightning checkpoint (orbax saves
             # directories): route through the state_dict key mapper with
             # the reference's prefix-strip/quantizer-drop/shape-filter

@@ -99,3 +99,51 @@ def test_vq_state_travels(tmp_path):
     for k in state["vq_state"]:
         np.testing.assert_array_equal(vq[k], state["vq_state"][k])
     assert meta["n_arrays"] == 4
+
+
+def test_golden_warm_starts_training(golden_npz, tmp_path):
+    """A golden bundle is a valid --warm_start_ckpt: params AND the EMA
+    codebook come back, so a fine-tune leg can bootstrap from the
+    committed bundle when the orbax checkpoint line is lost to machine
+    recycling (CLAUDE.md; scripts/resume_r4_golden.sh)."""
+    import jax
+    import yaml
+
+    from pytorch_vae_tpu.parallel.mesh import make_mesh
+    from pytorch_vae_tpu.training.experiment import VQVAEExperiment
+    from tests.conftest import TINY_MODEL
+
+    config_path, ckpt_path, out, _ = golden_npz
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    dp = {**cfg["data_params"], "train_batch_size": 4,
+          "val_batch_size": 4, "pad_to_max": True}
+    exp = VQVAEExperiment(
+        TINY_MODEL,
+        {"LR": 1e-3, "weight_decay": 0.01, "manual_seed": 1,
+         "lr_scheduler": "none", "save_every_epochs": 1},
+        dp, {"max_epochs": 1}, verbose=False,
+        mesh=make_mesh(data=1, model=1, devices=jax.devices()[:1]))
+    exp.setup()
+    exp.init_state(steps_per_epoch=2, max_epochs=1)
+    fresh_emb = np.asarray(exp.state.vq_state.embedding).copy()
+
+    exp.apply_restore_modes(warm_start_ckpt=out)
+
+    from pytorch_vae_tpu.utils.golden import load_golden
+    g_params, g_vq, _ = load_golden(out)
+    got = jax.tree_util.tree_leaves(jax.device_get(exp.state.params))
+    want = jax.tree_util.tree_leaves(g_params)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(exp.state.vq_state.embedding), g_vq["embedding"])
+    np.testing.assert_array_equal(
+        np.asarray(exp.state.vq_state.ema_cluster_size),
+        g_vq["ema_cluster_size"])
+    # the trained-one-step codebook differs from a fresh init
+    assert not np.array_equal(np.asarray(exp.state.vq_state.embedding),
+                              fresh_emb)
+    # step/epoch stay zero: warm start is not resume
+    assert int(exp.state.step) == 0 and int(exp.state.epoch) == 0
