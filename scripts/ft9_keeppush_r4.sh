@@ -24,8 +24,36 @@ for dep in round4_post_chain tok32_chain_r4 prior_final_r4 xla_flags_r4 \
     sleep 300
   done
 done
-[ -e checkpoints/synth_ae_ft8/last/_CHECKPOINT_METADATA ] || {
-  echo "[ft9] missing ft8 checkpoint" >> "${LOG}"; exit 1; }
+# Corpora are deterministic (np.default_rng) — regenerate if the machine
+# was recycled (same commands as bankx_ft6_r3.sh / reproduce_line.sh).
+if [ ! -e data/synth_curves/train_list.txt ]; then
+  python -c "
+from pytorch_vae_tpu.data.synthetic import make_synthetic_curve_dir
+make_synthetic_curve_dir('data/synth_curves', n_train=3276, n_val=820,
+                         seed=7, min_len=48, max_len=96)" >> "${LOG}" 2>&1 || exit 1
+fi
+if [ ! -e data/synth_curves_bankx/train_list.txt ]; then
+  python -c "
+from pytorch_vae_tpu.data.synthetic import make_synthetic_curve_dir
+make_synthetic_curve_dir('data/synth_curves_bankx', n_train=8192, n_val=8,
+                         seed=11, min_len=48, max_len=96)" >> "${LOG}" 2>&1 || exit 1
+fi
+if [ ! -e data/synth_curves_union/train_list.txt ]; then
+  mkdir -p data/synth_curves_union
+  ( sed 's|^|../synth_curves/|' data/synth_curves/train_list.txt
+    sed 's|^|../synth_curves_bankx/|' data/synth_curves_bankx/train_list.txt
+  ) > data/synth_curves_union/train_list.txt
+  sed 's|^|../synth_curves/|' data/synth_curves/val_list.txt \
+    > data/synth_curves_union/val_list.txt
+fi
+
+# Warm-start source: live ft8 checkpoint if present, else the committed
+# golden bundle (machine recycling killed the r4 line; the bundle IS the
+# ft8 final params + codebook — scripts/export_golden.py provenance).
+WS=checkpoints/synth_ae_ft8/last
+[ -e "${WS}/_CHECKPOINT_METADATA" ] || WS=golden/stage1_ft8.npz
+[ -e "${WS}" ] || { echo "[ft9] no ft8 source at all" >> "${LOG}"; exit 1; }
+echo "[ft9] warm-start source: ${WS}" >> "${LOG}"
 
 retry () {  # retry <n> <sleep_s> <cmd...>
   local n="$1" s="$2"; shift 2
@@ -42,7 +70,7 @@ CKPT=checkpoints/synth_ae_ft9/last
 TAG=r4f_ft9
 
 bash scripts/retry_train.sh "${CFG}" checkpoints/synth_ae_ft9 \
-  "${LOG}" --warm_start_ckpt checkpoints/synth_ae_ft8/last || exit 1
+  "${LOG}" --warm_start_ckpt "${WS}" || exit 1
 
 [ -e "results/synth_latents_${TAG}e.npz" ] || retry 3 120 \
   python scripts/extract_ae_latents.py --config "${CFG}" --ckpt "${CKPT}" \
