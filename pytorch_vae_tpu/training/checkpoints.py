@@ -108,16 +108,22 @@ def warm_start_params(
     template_params: Any,
     drop_prefixes: Tuple[str, ...] = ("quantizer",),
     verbose: bool = True,
+    preloaded_src: Any = None,
 ) -> Tuple[Any, List[str], List[str]]:
     """Load params-only from a checkpoint, shape-filtered.
 
     Returns (merged_params, kept_keys, skipped_keys). Keys present in the
     template but missing/mismatched in the checkpoint keep their fresh init,
     mirroring load_state_dict(strict=False) (experiment.py:295).
+    `preloaded_src` lets a caller that already holds the source params
+    tree (e.g. a golden bundle it also needs the vq_state from) skip the
+    second load while sharing the merge semantics.
     """
     from ..utils import golden as goldenlib
 
-    if goldenlib.is_golden(path):
+    if preloaded_src is not None:
+        src_params = preloaded_src
+    elif goldenlib.is_golden(path):
         # committed params-only .npz bundle (utils/golden.py): the
         # recycle-proof source when the orbax line is lost to machine
         # recycling — same merge semantics as an orbax warm start.

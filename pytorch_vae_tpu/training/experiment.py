@@ -286,25 +286,37 @@ class VQVAEExperiment:
                   f"epoch={int(self.state.epoch)})")
             return
         ws = warm_start_ckpt or self._warm_start_ckpt
-        if ws and os.path.isfile(ws) and ws.endswith(".npz"):
+        from ..utils.golden import is_golden, load_golden
+        if ws and is_golden(ws):
             # golden params-only bundle (utils/golden.py): warm-start
             # params AND — unlike a cross-stage orbax warm start — the
             # EMA codebook, because a golden bundle of the SAME model is
             # a checkpoint substitute, not a partial-architecture load.
             from ..models.quantizer import VQState
-            from ..utils.golden import load_golden
 
-            merged, kept, skipped = warm_start_params(ws, self.state.params)
+            g_params, g_vq, _ = load_golden(ws)
+            merged, kept, skipped = warm_start_params(
+                ws, self.state.params, preloaded_src=g_params)
             params = shard_params(merged, self.mesh)
             repl = {"params": params, "opt_state": self.tx.init(params)}
-            if self.use_vq:
-                _, g_vq, _ = load_golden(ws)
-                if g_vq is not None:
+            if self.use_vq and g_vq is not None:
+                # shape-validate against the fresh codebook so a
+                # cross-geometry warm start (2x256 -> 4x1024 capacity
+                # escalations are a real repo pattern) keeps the fresh
+                # codebook instead of crashing at first trace — the same
+                # strict=False semantics the params merge applies.
+                g_emb = jnp.asarray(g_vq["embedding"])
+                fresh = self.state.vq_state.embedding
+                if tuple(g_emb.shape) == tuple(fresh.shape):
                     repl["vq_state"] = VQState(
-                        embedding=jnp.asarray(g_vq["embedding"]),
+                        embedding=g_emb,
                         ema_cluster_size=jnp.asarray(
                             g_vq["ema_cluster_size"]),
                         ema_embedding=jnp.asarray(g_vq["ema_embedding"]))
+                else:
+                    print(f"[Warm-start] golden vq_state shape "
+                          f"{tuple(g_emb.shape)} != fresh "
+                          f"{tuple(fresh.shape)}; keeping fresh codebook")
             self.state = self.state.replace(**repl)
             print(f"[Warm-start] golden bundle {ws}: kept={len(kept)} "
                   f"skipped={len(skipped)}"

@@ -105,7 +105,8 @@ def test_golden_warm_starts_training(golden_npz, tmp_path):
     """A golden bundle is a valid --warm_start_ckpt: params AND the EMA
     codebook come back, so a fine-tune leg can bootstrap from the
     committed bundle when the orbax checkpoint line is lost to machine
-    recycling (CLAUDE.md; scripts/resume_r4_golden.sh)."""
+    recycling (CLAUDE.md; consumers: scripts/ft9_keeppush_r4.sh,
+    configs/synth_vq_huge_ft3g.yaml)."""
     import jax
     import yaml
 
@@ -147,3 +148,42 @@ def test_golden_warm_starts_training(golden_npz, tmp_path):
                               fresh_emb)
     # step/epoch stay zero: warm start is not resume
     assert int(exp.state.step) == 0 and int(exp.state.epoch) == 0
+
+
+def test_golden_warm_start_cross_geometry_keeps_fresh_codebook(
+        golden_npz, capsys):
+    """A golden bundle whose codebook geometry differs from the target
+    model (the 2x256 -> 4x1024 -> 8x1024 capacity-escalation pattern)
+    must NOT install the mismatched VQState: the fresh codebook stays,
+    matching the strict=False shape-filter semantics of the params merge
+    (ADVICE r4: experiment.py golden vq_state had no shape validation)."""
+    import jax
+    import yaml
+
+    from pytorch_vae_tpu.parallel.mesh import make_mesh
+    from pytorch_vae_tpu.training.experiment import VQVAEExperiment
+    from tests.conftest import TINY_MODEL
+
+    config_path, _, out, _ = golden_npz
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    dp = {**cfg["data_params"], "train_batch_size": 4,
+          "val_batch_size": 4, "pad_to_max": True}
+    # double the codebook: golden vq_state (2x16x16) no longer matches
+    big = {**TINY_MODEL, "codebook_size": 32}
+    exp = VQVAEExperiment(
+        big,
+        {"LR": 1e-3, "weight_decay": 0.01, "manual_seed": 1,
+         "lr_scheduler": "none", "save_every_epochs": 1},
+        dp, {"max_epochs": 1}, verbose=False,
+        mesh=make_mesh(data=1, model=1, devices=jax.devices()[:1]))
+    exp.setup()
+    exp.init_state(steps_per_epoch=2, max_epochs=1)
+    fresh_emb = np.asarray(exp.state.vq_state.embedding).copy()
+
+    exp.apply_restore_modes(warm_start_ckpt=out)
+
+    # codebook untouched, warning printed, no crash at trace time
+    np.testing.assert_array_equal(
+        np.asarray(exp.state.vq_state.embedding), fresh_emb)
+    assert "keeping fresh codebook" in capsys.readouterr().out
