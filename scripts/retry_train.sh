@@ -58,6 +58,19 @@ for attempt in $(seq 1 "${MAX_ATTEMPTS}"); do
   rc=$?
   if [ $rc -eq 0 ]; then
     echo "[retry_train] completed on attempt ${attempt}" >> "${LOG}"
+    # Golden export after EVERY completed leg (VERDICT r4 #5): the best
+    # state must survive machine recycling even when the next chain leg
+    # never runs. CPU process — avoids the 200-870s TPU backend init —
+    # and never fails the chain.
+    FINAL="$(pick_resume)"
+    GOLD="golden/$(basename "${CKPT_DIR}").npz"
+    if [ -n "${FINAL}" ]; then
+      env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu PVT_NO_COMPILE_CACHE=1 \
+        python scripts/export_golden.py --ckpt "${FINAL}" \
+          --config "${CONFIG}" --out "${GOLD}" >> "${LOG}" 2>&1 \
+        && echo "[retry_train] golden exported: ${GOLD}" >> "${LOG}" \
+        || echo "[retry_train] WARNING: golden export failed (non-fatal)" >> "${LOG}"
+    fi
     exit 0
   fi
   echo "[retry_train] exit ${rc}; sleeping ${SLEEP_S}s before resume" >> "${LOG}"
