@@ -172,11 +172,15 @@ def code_prior_loss(model: CodePrior, params, codes, lengths, *,
 
 
 def sample_codes(model: CodePrior, params, key, lengths, *,
-                 temperature: float = 1.0, top_k: int = 0) -> jnp.ndarray:
+                 temperature: float = 1.0, top_k: int = 0,
+                 top_p: float = 0.0) -> jnp.ndarray:
     """Autoregressively sample [B, T] GLOBAL flat indices for `lengths`.
 
     Full-forward-per-step under lax.scan on a fixed [B, T] buffer:
-    static shapes for XLA, no cache state. top_k=0 disables truncation.
+    static shapes for XLA, no cache state. top_k=0 disables truncation;
+    top_p in (0,1) enables nucleus truncation (smallest prefix of the
+    descending-prob vocab whose mass reaches top_p; the argmax token is
+    always kept). Both filters compose (top_k first, as in HF).
     """
     B = lengths.shape[0]
     T = model.seq_len
@@ -191,6 +195,17 @@ def sample_codes(model: CodePrior, params, key, lengths, *,
         if top_k and top_k < K:
             kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
             logits = jnp.where(logits < kth, -1e30, logits)
+        if 0.0 < top_p < 1.0:
+            # nucleus: drop tokens outside the minimal top-p mass set.
+            # Static shapes: full sort + scatter of a keep mask.
+            order = jnp.argsort(-logits, axis=-1)               # desc
+            sorted_logits = jnp.take_along_axis(logits, order, -1)
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep_sorted = (cum - probs) < top_p  # first always True
+            keep = jnp.zeros_like(keep_sorted).at[
+                jnp.arange(B)[:, None], order].set(keep_sorted)
+            logits = jnp.where(keep, logits, -1e30)
         draw = jax.random.categorical(sub, logits)          # [B] in [0,K)
         flat = draw.astype(jnp.int32) + (t % Q) * K         # global flat
         codes = jax.lax.dynamic_update_slice_in_dim(

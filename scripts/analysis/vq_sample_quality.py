@@ -54,6 +54,8 @@ def main() -> None:
                          "— same decode/filter/stats, directly comparable")
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--top_k", type=int, default=0)
+    ap.add_argument("--top_p", type=float, default=0.0,
+                    help="nucleus sampling mass in (0,1); 0 disables")
     ap.add_argument("--prior_params", type=str, default="best",
                     choices=["best", "final"],
                     help="which prior params to sample (sample_code_prior."
@@ -120,7 +122,7 @@ def main() -> None:
                     (Q, K, bundle.latent_tokens)))
         jit_sample = jax.jit(lambda k, l: sample_codes(
             pm, pvars, k, l, temperature=args.temperature,
-            top_k=args.top_k))
+            top_k=args.top_k, top_p=args.top_p))
         pkey = jax.random.PRNGKey(args.seed)
 
         def prior_sample(ls):
@@ -240,7 +242,8 @@ def main() -> None:
     elif args.prior_dir:
         sampler = {"prior_dir": args.prior_dir,
                    "params": args.prior_params,
-                   "temperature": args.temperature, "top_k": args.top_k}
+                   "temperature": args.temperature, "top_k": args.top_k,
+                   "top_p": args.top_p}
     else:
         sampler = "uniform"
     res = {

@@ -10,7 +10,7 @@ from the training length histogram (or a fixed --length).
 Usage:
   python scripts/sample_code_prior.py --prior_dir results/prior_huge \
       --n 256 --out_dir results/prior_huge/samples \
-      [--temperature 1.0 --top_k 0 --seed 0]
+      [--temperature 1.0 --top_k 0 --top_p 0.0 --seed 0]
   python scripts/decode_with_vqvae.py --config ... --ckpt ... \
       --manifest results/prior_huge/samples/manifest.jsonl \
       --base_dir results/prior_huge/samples --out_dir ...
@@ -56,6 +56,8 @@ def main() -> None:
     ap.add_argument("--out_dir", type=str, required=True)
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--top_k", type=int, default=0)
+    ap.add_argument("--top_p", type=float, default=0.0,
+                    help="nucleus sampling mass in (0,1); 0 disables")
     ap.add_argument("--length", type=int, default=0,
                     help="fixed curve length; 0 = draw from train histogram")
     ap.add_argument("--seed", type=int, default=0)
@@ -83,7 +85,7 @@ def main() -> None:
     sample_jit = jax.jit(
         lambda k, l: sample_codes(model, variables, k, l,
                                   temperature=args.temperature,
-                                  top_k=args.top_k))
+                                  top_k=args.top_k, top_p=args.top_p))
     key = jax.random.PRNGKey(args.seed)
     manifest = os.path.join(args.out_dir, "manifest.jsonl")
     with open(manifest, "w") as mf:
@@ -102,7 +104,8 @@ def main() -> None:
         json.dump({"prior_dir": os.path.abspath(args.prior_dir),
                    "params": args.params,
                    "n": args.n, "temperature": args.temperature,
-                   "top_k": args.top_k, "seed": args.seed,
+                   "top_k": args.top_k, "top_p": args.top_p,
+                   "seed": args.seed,
                    "source": meta.get("source")}, f, indent=1)
     print(f"[done] {args.n} sampled sequences -> {args.out_dir} "
           f"(decode with scripts/decode_with_vqvae.py)")

@@ -170,3 +170,31 @@ def test_cli_train_sample_roundtrip(tmp_path):
         lvl = np.arange(M * Q) % Q
         assert (idx >= lvl * K).all() and (idx < (lvl + 1) * K).all()
         assert 10 <= rec["length"] < 20
+
+
+def test_nucleus_sampling_legal_and_truncating():
+    """top_p nucleus sampling (round-5 plumbing): samples stay level-legal,
+    differ from the untruncated stream, and an extreme top_p ~ 0 collapses
+    to greedy argmax (the nucleus always keeps the top token)."""
+    model = tiny_model()
+    codes = jnp.asarray(global_codes(np.random.default_rng(5), 2))
+    lengths = jnp.asarray([11, 19])
+    variables = model.init(jax.random.PRNGKey(0), codes, lengths)
+
+    sp = np.asarray(sample_codes(model, variables, jax.random.PRNGKey(7),
+                                 lengths, temperature=1.0, top_p=0.9))
+    lvl = np.arange(M * Q) % Q
+    assert (sp >= lvl * K).all() and (sp < (lvl + 1) * K).all()
+
+    # top_p -> 0 keeps exactly the argmax token: two different keys agree
+    g1 = np.asarray(sample_codes(model, variables, jax.random.PRNGKey(1),
+                                 lengths, temperature=1.0, top_p=1e-9))
+    g2 = np.asarray(sample_codes(model, variables, jax.random.PRNGKey(2),
+                                 lengths, temperature=1.0, top_p=1e-9))
+    np.testing.assert_array_equal(g1, g2)
+
+    # nucleus at 0.5 must actually truncate: the sampled stream differs
+    # from the full-distribution stream under the same key
+    full = np.asarray(sample_codes(model, variables, jax.random.PRNGKey(7),
+                                   lengths, temperature=1.0))
+    assert not np.array_equal(sp, full)
