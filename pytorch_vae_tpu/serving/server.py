@@ -114,6 +114,14 @@ class ServerState:
         # only the first request pays the 200-870 s relay/backend init.
         self.warm_worker = bool(warm_worker)
         self._warm_proc: Optional[subprocess.Popen] = None
+        # tunnel-death resilience (the axon relay has measured multi-hour
+        # outages, CLAUDE.md r3): a task whose worker dies mid-flight or
+        # returns a backend-unavailable error is re-queued to a FRESH
+        # worker up to warm_retry_attempts times with backoff, instead of
+        # failing the task the way the reference does on any worker error
+        # (api/server.py:547-558).
+        self.warm_retry_attempts = 3
+        self.warm_retry_backoff_s = 5.0
 
     def start_workers(self) -> None:
         if self._workers_started:
@@ -186,10 +194,37 @@ class ServerState:
             cwd=str(REPO_ROOT), env=self._subproc_env())
         return self._warm_proc
 
+    # failure signatures of a dead TPU tunnel/backend: the worker process
+    # survives but its cached backend handle is unusable, so the task
+    # error (not the process exit) is the restart signal.
+    _BACKEND_DEAD_RE = re.compile(
+        r"UNAVAILABLE|DEADLINE_EXCEEDED|failed to connect|Socket closed|"
+        r"Connection reset|backend.*(unavailable|lost)", re.IGNORECASE)
+
+    def _kill_warm_proc(self) -> None:
+        if self._warm_proc is not None:
+            try:
+                self._warm_proc.kill()
+                self._warm_proc.wait(timeout=10)
+            except (OSError, subprocess.TimeoutExpired):
+                pass
+        self._warm_proc = None
+
     def _run_warm(self, t: TaskState) -> Dict:
-        """Execute one task in the persistent worker; restart-once on death."""
+        """Execute one task in the persistent worker.
+
+        Graceful restart on tunnel death: if the worker dies mid-task
+        (EOF/broken pipe) OR stays alive but reports a backend-
+        unavailable error, the task is re-run on a FRESH worker, up to
+        warm_retry_attempts times with warm_retry_backoff_s between
+        attempts. Re-running the same task_id is safe: run dirs are
+        created exist_ok and every artifact is rewritten.
+        """
         argv = self._build_cmd(t)[2:]  # strip python + script path
-        for _attempt in (1, 2):
+        last_err = "warm worker failed"
+        for attempt in range(1, self.warm_retry_attempts + 1):
+            if attempt > 1:
+                time.sleep(self.warm_retry_backoff_s)
             proc = self._ensure_warm_proc()
             line = ""
             try:
@@ -199,19 +234,29 @@ class ServerState:
                 line = proc.stdout.readline()
             except (BrokenPipeError, OSError):
                 line = ""
-            if line:
-                try:
-                    return json.loads(line)
-                except json.JSONDecodeError:
-                    return {"status": "failed",
-                            "error": f"bad worker reply: {line[:200]!r}"}
-            try:  # worker died: reap and retry once with a fresh one
-                proc.kill()
-            except OSError:
-                pass
-            self._warm_proc = None
+            if not line:  # worker died mid-task: fresh worker, retry
+                last_err = (f"warm worker died mid-task "
+                            f"(attempt {attempt})")
+                self._kill_warm_proc()
+                continue
+            try:
+                res = json.loads(line)
+            except json.JSONDecodeError:
+                return {"status": "failed",
+                        "error": f"bad worker reply: {line[:200]!r}"}
+            err = str(res.get("error") or "")
+            if res.get("status") != "done" and \
+                    self._BACKEND_DEAD_RE.search(err):
+                # worker alive, backend dead: its cached handle is
+                # unusable — restart the process, not just the request
+                last_err = err
+                self._kill_warm_proc()
+                continue
+            return res
         return {"status": "failed",
-                "error": "warm worker died twice; see logs/aeot_worker.log"}
+                "error": f"warm worker failed after "
+                         f"{self.warm_retry_attempts} attempts; last: "
+                         f"{last_err[-2000:]}; see logs/aeot_worker.log"}
 
     def _worker_loop(self) -> None:
         while True:

@@ -320,3 +320,76 @@ def test_warm_worker_two_tasks_one_process(tiny_ckpt, tmp_path_factory):
         httpd.shutdown()
         if state._warm_proc is not None:
             state._warm_proc.kill()
+
+
+def test_warm_worker_killed_mid_task_recovers(tiny_ckpt, tmp_path_factory):
+    """Tunnel-death resilience (round 5): kill the warm worker while a
+    task is EXECUTING; the server must restart a fresh worker and re-run
+    the task to `done`, not fail it. The reference fails the task on any
+    worker error (api/server.py:547-558); the axon relay's measured
+    multi-hour outages make graceful restart + re-queue a requirement
+    here (CLAUDE.md r3 notes)."""
+    from pytorch_vae_tpu.serving.server import serve
+
+    config_path, ckpt_path = tiny_ckpt
+    root = tmp_path_factory.mktemp("warmkill")
+    n_bank = 24
+    flat = TINY_MODEL["latent_tokens"] * TINY_MODEL["code_dim"]
+    rng = np.random.default_rng(0)
+    np.savez(root / "bank.npz",
+             latents=rng.normal(size=(n_bank, flat)).astype(np.float32),
+             lengths=rng.integers(16, 48, size=n_bank))
+    np.savez(root / "h.npz", h=np.zeros(n_bank, np.float32))
+
+    httpd = serve(
+        "127.0.0.1", 0,
+        defaults={"ae_config": config_path, "ae_ckpt": ckpt_path,
+                  "features_pt": str(root / "bank.npz"),
+                  "ot_h": str(root / "h.npz"),
+                  "out_root": str(root / "runs")},
+        extra_env={"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": None},
+        warm_worker=True)
+    httpd.state.warm_retry_backoff_s = 0.5  # test speed; default 5 s
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    state = httpd.state
+
+    try:
+        code, body = _post(base + "/generate", {
+            "n_generate": 4, "num_gen_x": 512, "ot_bat_size_n": 256,
+            "ot_thresh": 1.5, "min_length": 8, "seed": 0})
+        assert code == 200, body
+        tid = json.loads(body)["task_id"]
+
+        # kill the worker the moment the task is running and the worker
+        # process exists: the fresh worker's bundle-load + jit compile
+        # (tens of seconds on CPU) guarantees we land mid-execution
+        killed_pid = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            _, body = _get(f"{base}/tasks/{tid}")
+            if json.loads(body)["status"] == "running" and \
+                    state._warm_proc is not None and \
+                    state._warm_proc.poll() is None:
+                killed_pid = state._warm_proc.pid
+                state._warm_proc.kill()
+                break
+            time.sleep(0.05)
+        assert killed_pid is not None, "never saw a live worker mid-task"
+
+        deadline = time.time() + 420
+        while time.time() < deadline:
+            _, body = _get(f"{base}/tasks/{tid}")
+            task = json.loads(body)
+            if task["status"] in ("done", "failed"):
+                break
+            time.sleep(1)
+        assert task["status"] == "done", task.get("error", task)
+        assert Path(task["run_dir"]).joinpath("summary.json").exists()
+        # the task completed on a DIFFERENT (restarted) worker process
+        assert state._warm_proc is not None
+        assert state._warm_proc.pid != killed_pid
+    finally:
+        httpd.shutdown()
+        if state._warm_proc is not None:
+            state._warm_proc.kill()
