@@ -21,8 +21,8 @@ dryrun:          ## 8-device virtual-mesh sharded train step
 
 # Fresh clone -> committed golden bundle -> corpus regen -> latent banks
 # -> OT -> 400k end2end -> keep-rate compared against the committed
-# production row (results/aeot_runs/r3_ft8_bankx, 94.0%). TOL_PP=3.0
-# default tolerance.
+# production row (results/aeot_runs/r4_ft9_bankx, 96.8%; LINE=ft8 for
+# the round-4 row). TOL_PP=3.0 default tolerance.
 reproduce-line:
 	bash scripts/reproduce_line.sh
 

@@ -4,11 +4,15 @@
 #
 # The checkpoint line was lost to machine recycling three times in round
 # 3 (CLAUDE.md); everything this script needs is in git:
-#   golden/stage1_ft8.npz          params-only bundle (scripts/export_golden.py)
+#   golden/synth_ae_ft9.npz        params-only bundle (scripts/export_golden.py)
 #   corpus generation commands     deterministic (np.default_rng)
-#   results/aeot_runs/r3_ft8_bankx committed row to match (1879/2000 = 94.0%)
+#   results/aeot_runs/r4_ft9_bankx committed row to match (1936/2000 = 96.8%)
 #
-# Pipeline (identical args to scripts/worstpair_ab_r3.sh's ft8 arm):
+# Default target is the round-5 production row (ft9); override via
+#   LINE=ft8 bash scripts/reproduce_line.sh
+# to reproduce the round-4 row instead.
+#
+# Pipeline (identical args to scripts/ft9_keeppush_r4.sh's eval stage):
 #   corpora (seed 7 train + seed 11 extraction-only)
 #   -> extract latents with the golden bundle (both corpora) -> merge
 #   -> train OT potential (seed 0) -> 400k end2end -> compare keep-rate.
@@ -20,12 +24,24 @@
 set -eu
 ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 cd "${ROOT}"
-GOLD=golden/stage1_ft8.npz
-CFG=configs/synth_ae_ft8.yaml
-REF=results/aeot_runs/r3_ft8_bankx/summary.json
-OUT=results/repro
-RUN=repro_ft8_bankx
-TOL_PP="${TOL_PP:-3.0}"   # binomial sd at n=2000/p=.94 is 0.53 pp
+LINE="${LINE:-ft9}"
+case "${LINE}" in
+  ft9)
+    GOLD=golden/synth_ae_ft9.npz
+    CFG=configs/synth_ae_ft9.yaml
+    REF=results/aeot_runs/r4_ft9_bankx/summary.json
+    RUN=repro_ft9_bankx
+    ;;
+  ft8)
+    GOLD=golden/stage1_ft8.npz
+    CFG=configs/synth_ae_ft8.yaml
+    REF=results/aeot_runs/r3_ft8_bankx/summary.json
+    RUN=repro_ft8_bankx
+    ;;
+  *) echo "unknown LINE=${LINE} (ft9|ft8)"; exit 1 ;;
+esac
+OUT=results/repro_${LINE}
+TOL_PP="${TOL_PP:-3.0}"   # binomial sd at n=2000/p=.95 is ~0.5 pp
 mkdir -p "${OUT}" logs
 
 [ -e "${GOLD}" ] || { echo "missing ${GOLD} (committed bundle)"; exit 1; }
