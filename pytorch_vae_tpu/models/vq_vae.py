@@ -102,6 +102,16 @@ class VQVAE(nn.Module):
     reinit_min_steps: int = 800   # models/vq_vae.py:876
     dtype: Any = jnp.float32
     remat: bool = False           # rematerialize transformer blocks
+    # decoder-side bond legalization (round-5 extension, no reference
+    # counterpart): clamp each decoded bond length into
+    # [legalize_lo, legalize_hi] and re-integrate (ops/geometry.
+    # legalize_bond_lengths). Makes every decode path — recon, mix_geom,
+    # AE-OT generation, code sampling — legal-by-construction on bonds;
+    # directions (angles/dihedrals) are untouched and in-band bonds pass
+    # through unchanged. Default band matches the worst-bond band hinge.
+    legalize_bonds: bool = False
+    legalize_lo: float = 2.5
+    legalize_hi: float = 5.2
     name_tag: str = "VQVAE"
 
     @property
@@ -230,10 +240,13 @@ class VQVAE(nn.Module):
         q = q + self.pos_enc[:, :L, :].astype(self.dtype)
         h = self.decoder(q, memory, tgt_mask=mask, memory_mask=None,
                          deterministic=not train)
-        xyz = self.head_xyz(h)
+        xyz = self.head_xyz(h).astype(jnp.float32)
+        if self.legalize_bonds:
+            xyz = geometry.legalize_bond_lengths(
+                xyz, mask, self.legalize_lo, self.legalize_hi)
         ss_logits = self.head_ss(h)
         return jnp.concatenate(
-            [xyz.astype(jnp.float32), ss_logits.astype(jnp.float32)], axis=-1
+            [xyz, ss_logits.astype(jnp.float32)], axis=-1
         )
 
     # ------------------------------------------------------------------

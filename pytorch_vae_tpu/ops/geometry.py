@@ -82,3 +82,51 @@ def second_difference_sq(x: jnp.ndarray) -> jnp.ndarray:
     d1 = x[:, 1:, :] - x[:, :-1, :]
     d2 = d1[:, 1:, :] - d1[:, :-1, :]
     return jnp.sum(d2 ** 2, axis=-1)
+
+
+def legalize_bond_lengths(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    lo: float,
+    hi: float,
+) -> jnp.ndarray:
+    """Clamp every bond length into [lo, hi] and re-integrate the chain.
+
+    Decoder-side legalization layer (round-5 extension; no reference
+    counterpart — the reference's decoder emits raw coordinates,
+    models/vq_vae.py:745-765, and its AE-OT filter then rejects ~20% of
+    quantized decodes on short bonds). Each displacement keeps its
+    DIRECTION (bond angles/dihedrals are invariant under this map) and
+    has its length clamped into the legal band; positions are rebuilt by
+    a cumulative sum from the first point. Where all bonds are already
+    in band the map is the identity, so at convergence it costs nothing.
+
+    Gradients use a straight-through estimator through the clamp
+    (forward: clipped; backward: identity), so the xyz losses keep
+    pulling raw lengths toward the truth instead of going blind in the
+    clamped region.
+
+    Coincident points (zero-length bonds — possible with bf16 decoders,
+    see ops/masking.safe_norm) get a fixed +z direction so the output is
+    legal-by-construction even there.
+
+    Padded bonds (mask off at either end) keep their raw displacement:
+    real outputs depend only on real displacements, preserving the
+    suite's pad-invariance contract.
+
+    xyz: [B, L, 3] in real (Angstrom) units; mask: [B, L] bool or None.
+    """
+    if xyz.shape[1] < 2:
+        return xyz
+    d = xyz[:, 1:, :] - xyz[:, :-1, :]
+    ln = safe_norm(d, keepdims=True)                       # [B, L-1, 1]
+    direction = jnp.where(ln > 1e-6, d / jnp.maximum(ln, 1e-6),
+                          jnp.array([0.0, 0.0, 1.0], xyz.dtype))
+    clipped = jnp.clip(ln, lo, hi)
+    ln_ste = ln + jax.lax.stop_gradient(clipped - ln)
+    d_legal = direction * ln_ste
+    if mask is not None:
+        bond_real = (mask[:, 1:] & mask[:, :-1])[..., None]
+        d_legal = jnp.where(bond_real, d_legal, d)
+    rebuilt = xyz[:, :1, :] + jnp.cumsum(d_legal, axis=1)
+    return jnp.concatenate([xyz[:, :1, :], rebuilt], axis=1)
