@@ -31,12 +31,13 @@ def data_dir(tmp_path_factory):
     return str(d)
 
 
-def _mk_exp(data_dir, mesh=None, **exp_over):
+def _mk_exp(data_dir, mesh=None, model_over=None, **exp_over):
     data = {"npy_dir": data_dir, "train_list": "train_list.txt",
             "val_list": "val_list.txt", "train_batch_size": 8,
             "val_batch_size": 8, "pad_to_max": True}
     exp = dict(EXP, **exp_over)
-    return VQVAEExperiment(MODEL, exp, data, {"max_epochs": 2},
+    model = dict(MODEL, **(model_over or {}))
+    return VQVAEExperiment(model, exp, data, {"max_epochs": 2},
                            mesh=mesh, verbose=False)
 
 
@@ -344,6 +345,31 @@ def test_sharded_equivalence_mix_geom(data_dir, dp, tp):
                                                  rel=2e-3)
         _assert_tree_close(got["params"], ref["params"], 2e-3, 2e-5,
                            f"mix params {over.keys()}")
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_sharded_equivalence_legalize(data_dir, dp, tp):
+    """Decoder-side bond legalization (ops/geometry.legalize_bond_lengths)
+    is a per-curve cumulative sum along L with straight-through
+    gradients; data- and tensor-parallel sharding must not change the
+    loss, gradients, or updated params vs one device."""
+    model_over = {"legalize_bonds": True,
+                  "legalize_lo": 2.5, "legalize_hi": 5.2}
+    exp0 = _mk_exp(data_dir, mesh=make_mesh(data=1, model=1,
+                                            devices=jax.devices()[:1]))
+    exp0.setup()
+    batch = next(iter(exp0.train_loader))
+    ref = _flagship_step_diag(
+        data_dir, make_mesh(data=1, model=1, devices=jax.devices()[:1]),
+        batch, model_over=model_over)
+    got = _flagship_step_diag(data_dir, make_mesh(data=dp, model=tp),
+                              batch, model_over=model_over)
+    assert got["loss"] == pytest.approx(ref["loss"], rel=2e-4)
+    assert got["grad_norm"] == pytest.approx(ref["grad_norm"], rel=2e-3)
+    _assert_tree_close(got["params"], ref["params"], 2e-3, 2e-5,
+                       f"legalize params dp={dp} tp={tp}")
+    np.testing.assert_allclose(got["emb"], ref["emb"], rtol=2e-3,
+                               atol=2e-5)
 
 
 def _zoo_step_diag(mesh, batch):
