@@ -36,16 +36,21 @@ def _keep(d):
 def _aeot(d):
     if d is None:
         return None
-    rc = d.get("reject_counts", {})
-    n_kept = d.get("n_kept", d.get("kept"))
-    n_total = d.get("n_generated", d.get("n_sampled"))
+    n_kept = d.get("kept")
+    n_total = d.get("total_decoded")
     return {"kept": n_kept, "total": n_total,
             "keep_rate": (n_kept / n_total) if n_kept is not None
-            and n_total else d.get("keep_rate"),
-            "reject_counts": rc}
+            and n_total else None,
+            "reject_counts": d.get("reject_counts", {})}
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out",
+                    default="results/legalize_ab_r5/summary.json")
+    args = ap.parse_args()
+
     out = {"what": "round-5 decoder-side bond legalization A/B "
                    "(ops/geometry.legalize_bond_lengths)"}
 
@@ -104,9 +109,9 @@ def main():
             _load("results/aeot_runs/r5_ft9_legal/summary.json")),
     }
 
-    os.makedirs(os.path.join(ROOT, "results/legalize_ab_r5"),
-                exist_ok=True)
-    dst = os.path.join(ROOT, "results/legalize_ab_r5/summary.json")
+    dst = args.out if os.path.isabs(args.out) \
+        else os.path.join(ROOT, args.out)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

@@ -536,3 +536,27 @@ def test_export_golden_and_pipeline_from_bundle(arts, tmp_path):
     o = np.load(arts["bank"])
     # identical params -> identical latent bank
     np.testing.assert_array_equal(g["latents"], o["latents"])
+
+
+def test_analysis_rate_distortion_r5(tmp_path):
+    """Aggregates the committed capacity-rung JSONs into the in-band-vs-
+    bits ceiling estimate (reads repo results, writes --out)."""
+    out = str(tmp_path / "rd.json")
+    run_script("analysis/rate_distortion_r5.py", ["--out", out])
+    rd = json.load(open(out))
+    assert len(rd["rungs"]) >= 3
+    asym = rd["capacity_asymptote"]["in_band_asymptote"]
+    # the asymptote is a fraction above the best measured rung
+    assert 0.5 < asym < 1.0
+
+
+def test_analysis_legalize_ab_summary(tmp_path):
+    """Collates legalization arms vs committed controls; controls must
+    always resolve from the committed results tree."""
+    out = str(tmp_path / "leg.json")
+    run_script("analysis/legalize_ab_summary.py", ["--out", out])
+    s = json.load(open(out))
+    assert s["recon_ceiling"]["control_ft3g"] == pytest.approx(
+        0.26171875)
+    ctrl = s["aeot_end2end"]["control_ft9"]
+    assert ctrl["keep_rate"] == pytest.approx(0.968, abs=1e-3)
