@@ -95,10 +95,13 @@ def main():
     # --- honest distortion: aligned RMSD of quantized val decodes ---
     raw = _load("results/recon_r5/ft3g_raw/report.json")
     leg = _load("results/recon_r5/ft3g_legal/report.json")
+    ft4l = _load("results/recon_r5/ft4l/report.json")
     out["distortion_val_rmsd_aligned"] = {
         "ft3g_raw": (raw or {}).get("aggregate", {}).get("rmsd_mean"),
         "ft3g_inference_legalize":
             (leg or {}).get("aggregate", {}).get("rmsd_mean"),
+        "ft4l_trained_legalize":
+            (ft4l or {}).get("aggregate", {}).get("rmsd_mean"),
     }
 
     # --- stage-1 AE-OT end2end (same bank / OT potential / seed) ---
