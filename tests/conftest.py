@@ -30,6 +30,20 @@ except Exception:  # pragma: no cover - older jax without the option
 
 import pytest  # noqa: E402
 
+
+@pytest.fixture(autouse=True)
+def _restore_default_prng_impl():
+    """VQVAEExperiment switches jax_default_prng_impl to 'rbg' process-wide
+    (experiment.py) and jax has no scoped API for it, so any test that
+    constructs an experiment would silently change PRNGKey semantics for
+    every later test (caught as an order-dependent sampling-test failure).
+    Snapshot and restore around each test."""
+    before = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != before:
+        jax.config.update("jax_default_prng_impl", before)
+
+
 TINY_MODEL = {
     "name": "VQVAE-tiny", "input_dim": 6, "hidden_dim": 32,
     "num_layers": 1, "num_heads": 4, "ffn_dim": 64, "max_seq_len": 48,

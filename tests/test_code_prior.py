@@ -193,8 +193,15 @@ def test_nucleus_sampling_legal_and_truncating():
                                  lengths, temperature=1.0, top_p=1e-9))
     np.testing.assert_array_equal(g1, g2)
 
-    # nucleus at 0.5 must actually truncate: the sampled stream differs
-    # from the full-distribution stream under the same key
+    # an aggressive nucleus must actually truncate: the sampled stream
+    # differs from the full-distribution stream under the same key. Use
+    # top_p=0.3, not 0.9: at near-uniform init logits over K=8 codes a
+    # 0.9 nucleus keeps ~7/8 tokens, so all 16 positions coincide with
+    # the untruncated stream ~0.9^16 = 19% of the time per PRNG stream
+    # (observed under 'rbg'); 0.3 keeps ~2-3 tokens -> P(coincide) ~ 4e-9.
     full = np.asarray(sample_codes(model, variables, jax.random.PRNGKey(7),
                                    lengths, temperature=1.0))
-    assert not np.array_equal(sp, full)
+    sp_low = np.asarray(sample_codes(model, variables, jax.random.PRNGKey(7),
+                                     lengths, temperature=1.0, top_p=0.3))
+    assert (sp_low >= lvl * K).all() and (sp_low < (lvl + 1) * K).all()
+    assert not np.array_equal(sp_low, full)
