@@ -112,6 +112,16 @@ class VQVAE(nn.Module):
     legalize_bonds: bool = False
     legalize_lo: float = 2.5
     legalize_hi: float = 5.2
+    # decoder-side collision relaxation (round-5 extension, no reference
+    # counterpart): n gradient steps on ops/geometry.collision_energy
+    # (filter-matched point/segment/angle hinges) with bond
+    # re-legalization after every step. Identity on clash-free decodes;
+    # applied with an identity STE (forward relaxed, backward identity).
+    # Implies bond legalization (the relaxation re-legalizes per step
+    # using legalize_lo/hi).
+    relax_collisions: bool = False
+    relax_steps: int = 40
+    relax_step_size: float = 0.2
     name_tag: str = "VQVAE"
 
     @property
@@ -244,6 +254,12 @@ class VQVAE(nn.Module):
         if self.legalize_bonds:
             xyz = geometry.legalize_bond_lengths(
                 xyz, mask, self.legalize_lo, self.legalize_hi)
+        if self.relax_collisions:
+            relaxed = geometry.relax_collisions(
+                xyz, mask, n_steps=int(self.relax_steps),
+                step_size=float(self.relax_step_size),
+                bond_lo=self.legalize_lo, bond_hi=self.legalize_hi)
+            xyz = xyz + jax.lax.stop_gradient(relaxed - xyz)
         ss_logits = self.head_ss(h)
         return jnp.concatenate(
             [xyz, ss_logits.astype(jnp.float32)], axis=-1

@@ -297,19 +297,28 @@ def set_hpb_override(value: Optional[int]) -> None:
     _HPB_OVERRIDE = value
 
 
-_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom of the ~16 MB VMEM
+_VMEM_BUDGET = 15 * 1024 * 1024  # 16 MB scoped VMEM limit minus margin
 
 
 def _heads_per_block(dh: int, dhv: int, n_heads: int,
-                     lq: int = 0, lk: int = 0) -> int:
+                     lq: int = 0, lk: int = 0, itemsize: int = 2) -> int:
     """LARGEST Mosaic-legal head-group size that fits the VMEM budget.
 
     The last block dim must be a multiple of 128 lanes (or the full array
     width), so hpb*dh and hpb*dhv must be multiples of 128. Bigger groups
     amortize per-grid-cell overhead: at the flagship config hpb=8 (one
     cell per batch row) measured 121.6 ms/step vs 125.2 at the minimal
-    hpb=2 (benchmarks/hpb_ab.json, r3). VMEM estimate per cell: the four
-    [L, hpb*D] bf16 blocks + one transient [LQ, LK] f32 score matrix.
+    hpb=2 (benchmarks/hpb_ab.json, r3).
+
+    The VMEM model covers the WORST-CASE (bwd) cell so fwd and bwd pick
+    the same group size: 7 [L, hpb*D] blocks (q/k/v/g in, dq/dk/dv out)
+    at the array dtype's `itemsize`, double-buffered by the pipeline,
+    plus ~2 f32 [LQ, LK] score transients PER UNROLLED HEAD (Mosaic does
+    not reuse stack across the static per-head loop). Calibrated against
+    a measured Mosaic stack allocation: flagship fp32 at hpb=8 needs
+    16.18 MB on-chip (model says 17.9) and fails the 16 MB scoped limit,
+    while bf16 at hpb=8 lowers green (model 12.9) — so fp32 must drop to
+    hpb=4 and bf16 must stay at 8.
     """
     def legal(hpb):
         return (n_heads % hpb == 0 and (hpb * dh) % 128 == 0
@@ -318,9 +327,10 @@ def _heads_per_block(dh: int, dhv: int, n_heads: int,
     def fits(hpb):
         if not lq or not lk:
             return True
-        blocks = 2 * (lq * hpb * dh + lk * hpb * (dh + dhv)
-                      + lq * hpb * dhv)
-        return blocks + 4 * lq * lk < _VMEM_BUDGET
+        blocks = 2 * itemsize * hpb * (2 * lq * dh + 2 * lk * dh
+                                       + 2 * lk * dhv + lq * dhv)
+        transients = hpb * 2 * lq * lk * 4
+        return blocks + transients < _VMEM_BUDGET
 
     if _HPB_OVERRIDE is not None and legal(_HPB_OVERRIDE):
         return _HPB_OVERRIDE
@@ -370,7 +380,7 @@ def _flash_core_fwd(q, k, v, bias, seed, thresh24, num_heads, interpret):
     DP = q.shape[2] // H
     LKP = k.shape[1]
     DPV = v.shape[2] // H
-    hpb = _heads_per_block(DP, DPV, H, LQP, LKP)
+    hpb = _heads_per_block(DP, DPV, H, LQP, LKP, q.dtype.itemsize)
     seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec = _io_specs(
         B, H, hpb, LQP, LKP, DP, DPV)
     out = pl.pallas_call(
@@ -398,7 +408,7 @@ def _flash_core_bwd(thresh24, num_heads, interpret, res, g):
     DP = q.shape[2] // H
     LKP = k.shape[1]
     DPV = v.shape[2] // H
-    hpb = _heads_per_block(DP, DPV, H, LQP, LKP)
+    hpb = _heads_per_block(DP, DPV, H, LQP, LKP, q.dtype.itemsize)
     seed_spec, bias_spec, q_spec, k_spec, v_spec, o_spec = _io_specs(
         B, H, hpb, LQP, LKP, DP, DPV)
     dq, dk, dv = pl.pallas_call(

@@ -7,8 +7,11 @@ Vectorized jnp versions of the reference's geometry helpers
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .masking import safe_norm, unit
 
@@ -130,3 +133,154 @@ def legalize_bond_lengths(
         d_legal = jnp.where(bond_real, d_legal, d)
     rebuilt = xyz[:, :1, :] + jnp.cumsum(d_legal, axis=1)
     return jnp.concatenate([xyz[:, :1, :], rebuilt], axis=1)
+
+
+def _pairwise_sq_dists(pts: jnp.ndarray) -> jnp.ndarray:
+    """[B, N, 3] -> [B, N, N] squared distances via the matmul expansion.
+
+    |a-b|^2 = |a|^2 + |b|^2 - 2 a.b keeps the transient at [B, N, N]
+    (MXU-friendly) instead of the [B, N, N, 3] a broadcast-subtract
+    materializes.
+    """
+    sq = jnp.sum(pts * pts, axis=-1)
+    dots = jnp.einsum("bnd,bmd->bnm", pts, pts,
+                      precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * dots, 0.0)
+
+
+def collision_energy(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    *,
+    point_min: float = 2.1,
+    point_excl: int = 2,
+    seg_min: float = 1.4,
+    seg_excl: int = 1,
+    seg_samples: int = 5,
+    angle_min_deg: float = 12.0,
+) -> jnp.ndarray:
+    """Differentiable clash energy matched to the AE-OT filter gates.
+
+    Three hinge-squared terms mirroring pipelines/filtering.py (which
+    rebuilds the reference filter, prior/filter_curves.py):
+
+    - point pairs |i-j| > point_excl closer than ``point_min``
+      (filter gate: min_pairwise_dist=2.0, neighbor_exclude=2),
+    - segment pairs with index gap > seg_excl whose sampled-point clouds
+      come within ``seg_min`` (filter gate: seg_min_dist=1.3, sampled at
+      seg_num_samples=5) — the penalty sums over ALL close sample pairs,
+      a smooth superset of the filter's min-over-samples test,
+    - interior angles below ``angle_min_deg`` (filter hard gate:
+      angle_min_allowed=10 deg), as a hinge on cos(angle).
+
+    Defaults sit a small margin inside each filter threshold so a
+    zero-energy curve strictly clears the gates. Returns a per-curve
+    energy [B]; padded points/segments/angles contribute zero.
+    """
+    B, L, _ = xyz.shape
+    if mask is None:
+        mask = jnp.ones((B, L), bool)
+    fmask = mask.astype(xyz.dtype)
+
+    # -- point term ----------------------------------------------------
+    d2 = _pairwise_sq_dists(xyz)                           # [B, L, L]
+    idx = jnp.arange(L)
+    far = (jnp.abs(idx[:, None] - idx[None, :]) > point_excl)
+    pair_real = fmask[:, :, None] * fmask[:, None, :] * far[None]
+    pen = jnp.maximum(point_min - jnp.sqrt(d2 + EPS), 0.0) ** 2
+    e_point = 0.5 * jnp.sum(pen * pair_real, axis=(1, 2))  # ordered pairs
+
+    # -- segment term ----------------------------------------------------
+    if L >= 3:
+        t = jnp.linspace(0.0, 1.0, seg_samples)
+        p0, p1 = xyz[:, :-1, :], xyz[:, 1:, :]
+        pts = p0[:, :, None, :] + (p1 - p0)[:, :, None, :] * t[None, None,
+                                                               :, None]
+        P = L - 1
+        flat = pts.reshape(B, P * seg_samples, 3)
+        s2 = _pairwise_sq_dists(flat).reshape(
+            B, P, seg_samples, P, seg_samples)
+        sidx = jnp.arange(P)
+        sfar = (jnp.abs(sidx[:, None] - sidx[None, :]) > seg_excl)
+        seg_real = fmask[:, 1:] * fmask[:, :-1]            # [B, P]
+        spair = (seg_real[:, :, None] * seg_real[:, None, :]
+                 * sfar[None])                             # [B, P, P]
+        spen = jnp.maximum(
+            seg_min - jnp.sqrt(s2 + EPS), 0.0) ** 2        # [B,P,S,P,S]
+        e_seg = 0.5 * jnp.sum(
+            jnp.sum(spen, axis=(2, 4)) * spair, axis=(1, 2))
+    else:
+        e_seg = jnp.zeros((B,), xyz.dtype)
+
+    # -- angle term ------------------------------------------------------
+    if L >= 3 and angle_min_deg > 0.0:
+        # the filter measures the VERTEX angle (vectors out of the
+        # vertex, bond_angle_stats); bond_angle_cos uses consecutive
+        # chain directions, so cos_vertex = -cos_chain and the
+        # "vertex angle < min" violation is cos_chain < -cos(min)
+        cos_lim = -float(np.cos(np.deg2rad(angle_min_deg)))
+        cosx = bond_angle_cos(xyz)                         # [B, L-2]
+        ang_real = fmask[:, :-2] * fmask[:, 1:-1] * fmask[:, 2:]
+        e_ang = jnp.sum(
+            jnp.maximum(cos_lim - cosx, 0.0) ** 2 * ang_real, axis=1)
+    else:
+        e_ang = jnp.zeros((B,), xyz.dtype)
+
+    return e_point + e_seg + e_ang
+
+
+def relax_collisions(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    *,
+    n_steps: int = 40,
+    step_size: float = 0.2,
+    max_disp: float = 0.3,
+    bond_lo: float = 2.5,
+    bond_hi: float = 5.2,
+    point_min: float = 2.1,
+    point_excl: int = 2,
+    seg_min: float = 1.4,
+    seg_excl: int = 1,
+    seg_samples: int = 5,
+    angle_min_deg: float = 12.0,
+) -> jnp.ndarray:
+    """Projected-gradient clash relaxation over decoded curves.
+
+    Decoder-side collision legalization (round-5 extension; no reference
+    counterpart — the reference filter simply rejects clashing decodes,
+    prior/filter_curves.py). Runs ``n_steps`` of gradient descent on
+    ``collision_energy`` with a per-point displacement cap, re-running
+    ``legalize_bond_lengths`` after every step so bonds stay inside
+    [bond_lo, bond_hi] throughout. Zero-energy (clash-free) curves take
+    zero-gradient steps, so the map is the identity there; clashing
+    curves trade a small local deformation for clearing the filter's
+    collision/angle gates.
+
+    Jit-friendly: static step count via lax.fori_loop, no data-dependent
+    shapes. NOT differentiated through — callers (models/vq_vae.py
+    decode) wrap it in an identity straight-through estimator, since
+    40 unrolled energy gradients would be pointless to backprop.
+
+    xyz: [B, L, 3] in real (Angstrom) units; mask: [B, L] bool or None.
+    """
+    if xyz.shape[1] < 3 or n_steps <= 0:
+        return xyz
+    fmask = (jnp.ones(xyz.shape[:2], xyz.dtype) if mask is None
+             else mask.astype(xyz.dtype))
+
+    energy = functools.partial(
+        collision_energy, point_min=point_min, point_excl=point_excl,
+        seg_min=seg_min, seg_excl=seg_excl, seg_samples=seg_samples,
+        angle_min_deg=angle_min_deg)
+
+    def body(_, x):
+        g = jax.grad(lambda y: jnp.sum(energy(y, mask)))(x)
+        gn = safe_norm(g, keepdims=True)                   # [B, L, 1]
+        scale = jnp.minimum(1.0, max_disp / jnp.maximum(gn * step_size,
+                                                        1e-12))
+        x = x - step_size * scale * g * fmask[..., None]
+        return legalize_bond_lengths(x, mask, bond_lo, bond_hi)
+
+    x0 = legalize_bond_lengths(xyz, mask, bond_lo, bond_hi)
+    return jax.lax.fori_loop(0, n_steps, body, x0)

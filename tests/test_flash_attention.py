@@ -227,3 +227,22 @@ def test_dropout_unbiased_over_seeds():
     mean = acc / len(keys)
     # Monte-Carlo tolerance: std of the estimator ~ p/sqrt(N*keep)
     np.testing.assert_allclose(mean, ref, rtol=0.2, atol=0.08)
+
+
+def test_hpb_auto_sizing_is_dtype_aware():
+    """The head-group auto-sizer must account for the array dtype.
+
+    Regression for a real on-chip Mosaic lowering failure (round 5): the
+    flagship fp32 step at hpb=8 needs 16.18 MB of scoped VMEM and dies at
+    the 16 MB limit, while bf16 at hpb=8 lowers green and is the measured
+    perf optimum (121.6 ms, benchmarks/hpb_ab.json). The estimator used to
+    hardcode 2-byte blocks and picked 8 for both.
+    """
+    from pytorch_vae_tpu.ops.flash_attention import _heads_per_block
+
+    # flagship shape: H=8, Dh=Dhv=64, LQ=LK=350
+    assert _heads_per_block(64, 64, 8, 350, 350, itemsize=2) == 8
+    fp32 = _heads_per_block(64, 64, 8, 350, 350, itemsize=4)
+    assert fp32 <= 4, f"fp32 flagship must shrink the head group, got {fp32}"
+    # Mosaic legality must hold for whatever it picks
+    assert (fp32 * 64) % 128 == 0 and 8 % fp32 == 0
