@@ -28,7 +28,7 @@ LOG=logs/final_validation_r5.log
 echo "[finalval] start $(date -u +%FT%TZ) rev=$(git rev-parse --short HEAD)" >> "${LOG}"
 
 for dep in ft9_keeppush_r4 stage2_ft3g_r5 prior_r5 stage2_ft4l_r5 \
-           legalize_infer_ab_r5 prior_ft4l_r5; do
+           legalize_infer_ab_r5 prior_ft4l_r5 relax_infer_ab_r5; do
   while [ -d "logs/.${dep}.lock.d" ]; do
     echo "[finalval] waiting on ${dep} $(date -u +%FT%TZ)" >> "${LOG}"
     sleep 120
