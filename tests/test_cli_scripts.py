@@ -560,3 +560,16 @@ def test_analysis_legalize_ab_summary(tmp_path):
         0.26171875)
     ctrl = s["aeot_end2end"]["control_ft9"]
     assert ctrl["keep_rate"] == pytest.approx(0.968, abs=1e-3)
+
+
+def test_analysis_relax_ab_summary(tmp_path):
+    """Collates relaxation arms vs committed controls; the trained-ft4l
+    controls must always resolve from the committed results tree."""
+    out = str(tmp_path / "rlx.json")
+    run_script("analysis/relax_ab_summary.py", ["--out", out])
+    s = json.load(open(out))
+    assert s["recon_ceiling"]["control_ft4l_keep"] == pytest.approx(
+        0.9296875)
+    t06 = s["learned_prior_ft4l_codes"]["t06"]
+    assert t06["control_keep"] == pytest.approx(0.55859375)
+    assert t06["control_exact_match"] == 0.0
